@@ -1,0 +1,221 @@
+"""Configuration for the SLAM pipeline.
+
+Replaces the reference's dual config system — the ORB-SLAM3 style
+`cv::FileStorage` YAML parsing (reference: src/Tracking.cc:144,677,761)
+and the PL-SLAM `Config` singleton of ~90 tunables (reference:
+include/Config.h:39-149) — with one typed, immutable dataclass tree.
+Defaults mirror the reference's EuRoC operating point
+(Examples/Stereo-Inertial/Config/EuRoC.yaml).
+
+Static capacity fields (`n_*_max`) set the padded array shapes that the
+whole TPU data model compiles against; changing them recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor budget (reference: EuRoC.yaml:111-117, ORBextractor ctor)."""
+
+    n_features: int = 1200
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold: int = 20
+    fast_min_threshold: int = 7
+    patch_size: int = 31
+    edge_threshold: int = 19
+
+
+@dataclasses.dataclass(frozen=True)
+class LineConfig:
+    """Line extractor budget (reference: EuRoC.yaml:129-132,184-192, Config.h lsd_* keys)."""
+
+    n_lines: int = 256  # reference lsd_nfeatures cap is <=500; 256 is our padded budget
+    min_length_frac: float = 0.025  # min length as fraction of min(W,H) (Config::minLineLength)
+    grad_threshold: float = 30.0
+    nms_radius: int = 2
+    n_bands: int = 9  # LBD bands
+    band_width: int = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Matching thresholds (reference: ORBmatcher.cc TH_LOW/TH_HIGH, LineMatcher ratios)."""
+
+    orb_th_low: int = 50
+    orb_th_high: int = 100
+    nn_ratio: float = 0.9
+    line_nn_ratio: float = 0.75
+    search_radius_px: float = 15.0
+    stereo_max_disparity: float = 192.0
+    check_orientation: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking state machine thresholds (reference: src/Tracking.cc)."""
+
+    min_init_features: int = 500  # StereoInitialization gate (Tracking.cc:1930)
+    min_matches_motion: int = 20
+    min_matches_ref_kf: int = 15
+    min_inliers_track: int = 10  # pose-opt inlier floor (Tracking.cc:3373-3404)
+    min_inliers_local_map: int = 30
+    kf_min_interval: int = 0  # min frames between KFs
+    kf_max_interval: int = 30  # c1a: MaxFrames = fps (Tracking.cc:3407)
+    kf_ref_ratio: float = 0.75  # c2: tracked < ratio * ref visible (Tracking.cc:3500)
+    kf_min_close_points: int = 100  # close-point creation cap (Tracking.cc:3573)
+    recently_lost_sec: float = 5.0  # time_recently_lost (Tracking.cc:53)
+    motion_model: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Optimization budgets (reference: EuRoC.yaml:196-198, Optimizer.cc)."""
+
+    pose_gn_iters: int = 5  # stage-1 GN (Config::maxIters)
+    pose_gn_iters_refine: int = 10  # refinement (Config::maxItersRef)
+    pose_rounds: int = 4  # GN -> outlier -> GN rounds (Optimizer.cc:1146-1163)
+    mad_k: float = 4.0  # MAD inlier factor (Config::inlierK)
+    local_ba_iters: int = 10  # g2o optimize(5)+optimize(10) analog
+    local_ba_window: int = 8  # covisible-KF window size (padded capacity)
+    local_ba_fixed: int = 2  # fixed boundary KFs
+    pgo_iters: int = 20  # essential-graph optimize(20) (Optimizer.cc:2689)
+    gba_iters: int = 10
+    huber_mono: float = 2.447  # sqrt(5.991) g2o delta for 2-dof chi2
+    huber_stereo: float = 2.796  # sqrt(7.815) for 3-dof
+    damping_init: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise model (reference: EuRoC.yaml:44-49, IMU::Calib)."""
+
+    rate_hz: float = 200.0
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2e-3
+    walk_gyro: float = 1.94e-5
+    walk_acc: float = 3e-3
+    gravity: float = 9.81
+    max_samples_per_frame: int = 32  # padded preintegration batch per frame
+    init_time_sec: float = 2.0  # min data span before IMU init
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Static capacities of the struct-of-arrays map stores."""
+
+    max_keyframes: int = 512
+    max_points: int = 16384
+    max_lines: int = 4096
+    max_obs_per_kf_points: int = 1536  # per-KF point observation slots
+    max_obs_per_kf_lines: int = 256
+    cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:301)
+    cull_min_obs: int = 3
+    kf_cull_redundancy: float = 0.9  # KeyFrameCulling (LocalMapping.cc:895)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing / place recognition (reference: LoopClosing.cc, KeyFrameDatabase.cc)."""
+
+    enabled: bool = True
+    consistency_kfs: int = 3  # >=3 consecutive KF hits (LoopClosing.cc:306)
+    min_kf_gap: int = 12  # guard before attempting detection (LoopClosing.cc:259-278)
+    bow_candidates: int = 3  # DetectNBestCandidates(3) (LoopClosing.cc:395)
+    sim3_hypotheses: int = 256  # batched RANSAC hypotheses (replaces iterate())
+    sim3_min_inliers: int = 20
+    vocab_levels: int = 4
+    vocab_branching: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    sensor: str = "stereo"  # stereo | stereo_imu | mono | mono_imu | rgbd
+    width: int = 752
+    height: int = 480
+    fps: float = 20.0
+    use_points: bool = True  # Config::hasPoints kill-switch
+    use_lines: bool = True  # Config::hasLines kill-switch
+    orb: OrbConfig = OrbConfig()
+    lines: LineConfig = LineConfig()
+    match: MatchConfig = MatchConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    opt: OptimizerConfig = OptimizerConfig()
+    imu: ImuConfig = ImuConfig()
+    map: MapConfig = MapConfig()
+    loop: LoopConfig = LoopConfig()
+
+    def replace(self, **kw: Any) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def euroc_stereo() -> "SlamConfig":
+        return SlamConfig(sensor="stereo")
+
+    @staticmethod
+    def euroc_stereo_inertial() -> "SlamConfig":
+        return SlamConfig(sensor="stereo_imu")
+
+    @staticmethod
+    def tiny_test() -> "SlamConfig":
+        """Small capacities for fast unit/integration tests on CPU."""
+        return SlamConfig(
+            width=128,
+            height=96,
+            orb=OrbConfig(n_features=256, n_levels=3),
+            lines=LineConfig(n_lines=32),
+            map=MapConfig(max_keyframes=32, max_points=1024, max_lines=128,
+                          max_obs_per_kf_points=256, max_obs_per_kf_lines=32),
+            imu=ImuConfig(max_samples_per_frame=16),
+            tracking=TrackingConfig(min_init_features=20, min_matches_motion=8,
+                                    min_matches_ref_kf=8, min_inliers_track=6,
+                                    min_inliers_local_map=10),
+        )
+
+
+def load_yaml(path: str) -> SlamConfig:
+    """Load a reference-style YAML (EuRoC.yaml schema) into SlamConfig.
+
+    Supports the subset of keys the pipeline consumes; unknown keys are
+    ignored (the reference likewise ignores unknown FileStorage nodes).
+    """
+    import re
+
+    kv: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            m = re.match(r"([A-Za-z0-9_.]+)\s*:\s*(.+)", line)
+            if m:
+                kv[m.group(1)] = m.group(2).strip().strip('"')
+
+    def get(key: str, default, cast=float):
+        return cast(kv[key]) if key in kv else default
+
+    orb = OrbConfig(
+        n_features=get("ORBextractor.nFeatures", 1200, int),
+        n_levels=get("ORBextractor.nLevels", 8, int),
+        scale_factor=get("ORBextractor.scaleFactor", 1.2),
+        fast_threshold=get("ORBextractor.iniThFAST", 20, int),
+        fast_min_threshold=get("ORBextractor.minThFAST", 7, int),
+    )
+    imu = ImuConfig(
+        rate_hz=get("IMU.Frequency", 200.0),
+        noise_gyro=get("IMU.NoiseGyro", 1.7e-4),
+        noise_acc=get("IMU.NoiseAcc", 2e-3),
+        walk_gyro=get("IMU.GyroWalk", 1.94e-5),
+        walk_acc=get("IMU.AccWalk", 3e-3),
+    )
+    return SlamConfig(
+        width=get("Camera.width", 752, int),
+        height=get("Camera.height", 480, int),
+        fps=get("Camera.fps", 20.0),
+        use_points=bool(get("has_points", 1, int)),
+        use_lines=bool(get("has_lines", 1, int)),
+        orb=orb,
+        imu=imu,
+    )
