@@ -1,0 +1,395 @@
+"""Line-segment detection and LBD-style binary description, fully batched.
+
+TPU-native replacement for the reference's vendored `line_descriptor`
+fork — `LSDDetectorC::detect` (reference:
+Thirdparty/line_descriptor/src/LSDDetector_custom.cpp:218-325) and the
+LBD `BinaryDescriptor::compute` (reference:
+Thirdparty/line_descriptor/src/binary_descriptor_custom.cpp) — and of
+the thin `Lineextractor` wrapper (reference: src/LineExtractor.cc:31-70).
+
+LSD's region-growing is inherently sequential, so the detector is
+re-designed for XLA (SURVEY.md §7.3 item 2):
+
+1. Sobel gradients -> Canny-style directional NMS edge map.
+2. Gradient-guided Hough voting: each edge pixel votes only into the
+   ~3 theta bins normal to its own gradient (scatter-add), so the
+   accumulator costs O(3·edges), not O(edges · n_theta).
+3. Peak NMS + top-K gives candidate infinite lines.
+4. Each candidate is rasterized at S fixed samples; per-sample support
+   = magnitude + angular agreement; the longest gap-closed support run
+   (a batched scan) yields segment endpoints.
+5. Matrix NMS dedups near-collinear segments; top-N by score.
+
+The descriptor samples a 9-band x 7-row x S-column support grid of
+(parallel, perpendicular) gradient projections, reduces band means and
+stds (the LBD statistic), and binarizes the 72-dim vector with a fixed
+seeded random projection into 256 bits (±1 int8) so line matching
+reuses the same int8-matmul Hamming kernel as points.
+
+Output is a fixed-capacity padded `LineFeatures` with a validity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pli_slam_tpu.ops import image as image_ops
+from pli_slam_tpu.utils.config import LineConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LineFeatures:
+    """Padded line-segment set in pixel coordinates."""
+
+    p0: jax.Array  # [N, 2] float32 endpoint (x, y)
+    p1: jax.Array  # [N, 2] float32 endpoint
+    angle: jax.Array  # [N] float32 segment direction in [-pi/2, pi/2)
+    length: jax.Array  # [N] float32 pixels
+    response: jax.Array  # [N] float32 mean gradient magnitude
+    desc: jax.Array  # [N, 256] int8 ±1 LBD-projection bits
+    valid: jax.Array  # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.p0.shape[0]
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+    def midpoint(self) -> jax.Array:
+        return 0.5 * (self.p0 + self.p1)
+
+    def line_coeffs(self) -> jax.Array:
+        """Normalized homogeneous line coefficients l = p0 x p1, [N, 3]."""
+        h0 = jnp.concatenate([self.p0, jnp.ones_like(self.p0[:, :1])], axis=1)
+        h1 = jnp.concatenate([self.p1, jnp.ones_like(self.p1[:, :1])], axis=1)
+        l = jnp.cross(h0, h1)
+        n = jnp.linalg.norm(l[:, :2], axis=1, keepdims=True)
+        return l / jnp.maximum(n, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Detection
+# ---------------------------------------------------------------------------
+
+
+def _edge_map(img: jax.Array, grad_threshold: float):
+    """Directional-NMS edge mask + gradients (Canny-thin, batched)."""
+    blurred = image_ops.gaussian_blur(img, sigma=1.0, radius=2)
+    gx, gy = image_ops.sobel_gradients(blurred)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    # quantize gradient direction into 4 sectors; compare against both
+    # neighbors along the gradient
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    sector = jnp.round(ang / (jnp.pi / 4.0)).astype(jnp.int32) % 4  # 0:E,1:NE,2:N,3:NW
+    offs = [(0, 1), (1, 1), (1, 0), (1, -1)]  # (dy, dx) per sector
+    n_plus = jnp.stack([jnp.roll(mag, (-dy, -dx), (0, 1)) for dy, dx in offs])
+    n_minus = jnp.stack([jnp.roll(mag, (dy, dx), (0, 1)) for dy, dx in offs])
+    sel_p = jnp.take_along_axis(n_plus, sector[None], axis=0)[0]
+    sel_m = jnp.take_along_axis(n_minus, sector[None], axis=0)[0]
+    edge = (mag >= grad_threshold) & (mag >= sel_p) & (mag >= sel_m)
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (ys >= 2) & (ys < h - 2) & (xs >= 2) & (xs < w - 2)
+    return edge & border, gx, gy, mag
+
+
+def _hough_vote(edge, gx, gy, mag, cfg: LineConfig, h: int, w: int):
+    """Gradient-guided Hough accumulator [T, R] and its bin geometry."""
+    T = cfg.theta_bins
+    diag = math.hypot(h, w)
+    R = int(2 * diag / cfg.rho_res) + 3
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # line normal direction = gradient direction; theta in [0, pi)
+    theta = jnp.arctan2(gy, gx) % jnp.pi
+    tbin0 = (theta * (T / jnp.pi)).astype(jnp.int32) % T
+    weight = jnp.where(edge, mag, 0.0).reshape(-1)
+    acc = jnp.zeros((T, R), jnp.float32)
+    for dt in (-1, 0, 1):
+        tb = (tbin0 + dt) % T
+        th = (tb.astype(jnp.float32) + 0.5) * (jnp.pi / T)
+        rho = xs * jnp.cos(th) + ys * jnp.sin(th)
+        rbin = jnp.clip(((rho + diag) / cfg.rho_res).astype(jnp.int32), 0, R - 1)
+        flat = (tb * R + rbin).reshape(-1)
+        acc = acc.reshape(-1).at[flat].add(weight).reshape(T, R)
+    return acc, diag, R
+
+
+def _hough_peaks(acc: jax.Array, k: int):
+    """3x3 NMS + top-k over the accumulator -> (theta_idx, rho_idx, score)."""
+    m = jax.lax.reduce_window(acc, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    peaks = jnp.where((acc >= m) & (acc > 0), acc, 0.0).reshape(-1)
+    score, idx = jax.lax.top_k(peaks, k)
+    R = acc.shape[1]
+    return idx // R, idx % R, score
+
+
+def _longest_run(support: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Longest True run per row of [K, S] -> (start_idx, end_idx) inclusive.
+
+    Returns start=end=0 when no support.
+    """
+    k, s = support.shape
+
+    def step(carry, x):
+        run = (carry + 1) * x
+        return run, run
+
+    _, runs = jax.lax.scan(step, jnp.zeros(k, jnp.int32), support.T.astype(jnp.int32))
+    runs = runs.T  # [K, S] run length ending at i
+    end = jnp.argmax(runs, axis=1).astype(jnp.int32)
+    length = jnp.take_along_axis(runs, end[:, None], axis=1)[:, 0]
+    start = end - jnp.maximum(length - 1, 0)
+    return start, end
+
+
+def _close_gaps(support: jax.Array, gap: int) -> jax.Array:
+    """Morphological closing along the sample axis (fill gaps <= gap)."""
+    if gap <= 0:
+        return support
+    x = support.astype(jnp.float32)[:, None, :, None]
+    win = (1, 1, gap + 1, 1)
+    dil = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, win, (1, 1, 1, 1), "SAME")
+    ero = -jax.lax.reduce_window(-dil, -jnp.inf, jax.lax.max, win, (1, 1, 1, 1), "SAME")
+    return (ero[:, 0, :, 0] > 0.5) & (dil[:, 0, :, 0] > 0.5) | support
+
+
+def detect(img: jax.Array, cfg: LineConfig) -> LineFeatures:
+    """Detect up to cfg.n_lines segments in a [H, W] float32 image."""
+    h, w = img.shape
+    edge, gx, gy, mag = _edge_map(img, cfg.grad_threshold)
+    acc, diag, R = _hough_vote(edge, gx, gy, mag, cfg, h, w)
+    t_idx, r_idx, peak_score = _hough_peaks(acc, cfg.n_candidates)
+
+    T = cfg.theta_bins
+    theta = (t_idx.astype(jnp.float32) + 0.5) * (jnp.pi / T)
+    rho = (r_idx.astype(jnp.float32) + 0.5) * cfg.rho_res - diag
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    # param: point(t) = rho*(ct, st) + t*(-st, ct); find t-range inside image
+    px, py = rho * ct, rho * st
+    big = jnp.float32(1e9)
+
+    def axis_range(p, d, lo, hi):
+        t0 = (lo - p) / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        t1 = (hi - p) / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+        tmin = jnp.where(jnp.abs(d) < 1e-6, -big, jnp.minimum(t0, t1))
+        tmax = jnp.where(jnp.abs(d) < 1e-6, big, jnp.maximum(t0, t1))
+        return tmin, tmax
+
+    tx0, tx1 = axis_range(px, -st, 0.0, w - 1.0)
+    ty0, ty1 = axis_range(py, ct, 0.0, h - 1.0)
+    t_min = jnp.maximum(tx0, ty0)
+    t_max = jnp.minimum(tx1, ty1)
+    span = jnp.maximum(t_max - t_min, 0.0)
+
+    S = cfg.n_samples
+    ts = t_min[:, None] + (jnp.arange(S, dtype=jnp.float32)[None, :] + 0.5) / S * span[:, None]
+    sx = px[:, None] - st[:, None] * ts
+    sy = py[:, None] + ct[:, None] * ts
+    uv = jnp.stack([sx, sy], axis=-1)  # [K, S, 2]
+    m_s = image_ops.bilinear_sample(mag, uv)
+    gx_s = image_ops.bilinear_sample(gx, uv)
+    gy_s = image_ops.bilinear_sample(gy, uv)
+    # angular agreement: sample gradient must be ~normal to the line
+    ang_s = jnp.arctan2(gy_s, gx_s) % jnp.pi
+    d_ang = jnp.abs(ang_s - theta[:, None])
+    d_ang = jnp.minimum(d_ang, jnp.pi - d_ang)
+    tol = jnp.deg2rad(cfg.support_angle_deg)
+    support = (m_s >= 0.5 * cfg.grad_threshold) & (d_ang <= tol)
+    support = support & (span[:, None] > 0)
+    support = _close_gaps(support, cfg.max_gap)
+
+    s0, s1 = _longest_run(support)
+    step_len = span / S
+    t0 = t_min + (s0.astype(jnp.float32) + 0.5) * step_len
+    t1 = t_min + (s1.astype(jnp.float32) + 0.5) * step_len
+    p0 = jnp.stack([px - st * t0, py + ct * t0], axis=-1)
+    p1 = jnp.stack([px - st * t1, py + ct * t1], axis=-1)
+    length = jnp.abs(t1 - t0)
+
+    # response: mean magnitude over the chosen run
+    in_run = (jnp.arange(S)[None, :] >= s0[:, None]) & (jnp.arange(S)[None, :] <= s1[:, None])
+    resp = jnp.sum(jnp.where(in_run, m_s, 0.0), axis=1) / jnp.maximum(
+        jnp.sum(in_run, axis=1), 1
+    )
+
+    min_len = cfg.min_length_frac * min(h, w)
+    valid = (length >= min_len) & (peak_score > 0)
+
+    # matrix NMS of near-collinear duplicates: suppress a segment if a
+    # higher-scoring one lies on nearly the same infinite line with
+    # overlapping extent
+    score = jnp.where(valid, length * (1.0 + 0.01 * resp), -1.0)
+    mid = 0.5 * (p0 + p1)
+    d_theta = jnp.abs(theta[:, None] - theta[None, :])
+    d_theta = jnp.minimum(d_theta, jnp.pi - d_theta)
+    # perpendicular distance of midpoint_i to line_j
+    nx, ny = ct, st
+    perp = jnp.abs(mid[:, None, 0] * nx[None, :] + mid[:, None, 1] * ny[None, :] - rho[None, :])
+    similar = (d_theta < jnp.deg2rad(4.0)) & (perp < 3.0 * cfg.rho_res)
+    higher = (score[None, :] > score[:, None]) | (
+        (score[None, :] == score[:, None]) & (jnp.arange(score.shape[0])[None, :] < jnp.arange(score.shape[0])[:, None])
+    )
+    suppressed = jnp.any(similar & higher & valid[None, :], axis=1)
+    valid = valid & ~suppressed
+
+    # top-N by score into the fixed capacity
+    final_score = jnp.where(valid, score, -1.0)
+    top_s, top_i = jax.lax.top_k(final_score, cfg.n_lines)
+    p0 = p0[top_i]
+    p1 = p1[top_i]
+    length = length[top_i]
+    resp = resp[top_i]
+    valid = (top_s > 0)
+    seg_angle = jnp.arctan2(p1[:, 1] - p0[:, 1], p1[:, 0] - p0[:, 0])
+
+    desc = lbd_descriptor(img, p0, p1, valid, cfg)
+    return LineFeatures(
+        p0=p0, p1=p1, angle=seg_angle, length=length, response=resp, desc=desc, valid=valid
+    )
+
+
+# ---------------------------------------------------------------------------
+# LBD descriptor
+# ---------------------------------------------------------------------------
+
+_PROJ_SEED = 7
+
+
+def _projection_matrix(dim_in: int, dim_out: int = 256) -> np.ndarray:
+    rng = np.random.default_rng(_PROJ_SEED)
+    return rng.normal(size=(dim_in, dim_out)).astype(np.float32)
+
+
+def lbd_descriptor(img: jax.Array, p0: jax.Array, p1: jax.Array, valid: jax.Array, cfg: LineConfig) -> jax.Array:
+    """LBD band statistics + random-projection binarization -> ±1 int8 [N, 256].
+
+    Math follows the Line Band Descriptor: the line support region is
+    split into `n_bands` bands parallel to the line; per band the mean
+    and std over columns of 4 half-wave gradient sums (g⊥+, g⊥-, g∥+,
+    g∥-) form the descriptor (reference: binary_descriptor_custom.cpp
+    `computeLBD`), here binarized by a fixed Gaussian projection.
+    """
+    blurred = image_ops.gaussian_blur(img, sigma=1.0, radius=2)
+    gx, gy = image_ops.sobel_gradients(blurred)
+
+    n = p0.shape[0]
+    B = cfg.n_bands
+    Wb = cfg.band_width
+    S = cfg.lbd_samples
+
+    d = p1 - p0
+    length = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dn = d / jnp.maximum(length, 1e-6)  # unit direction [N,2]
+    nn = jnp.stack([-dn[:, 1], dn[:, 0]], axis=-1)  # unit normal
+
+    ts = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S  # along-line fractions
+    half = (B * Wb - 1) / 2.0
+    offs = jnp.arange(B * Wb, dtype=jnp.float32) - half  # perpendicular offsets
+
+    base = p0[:, None, :] + d[:, None, :] * ts[None, :, None]  # [N,S,2]
+    uv = base[:, :, None, :] + nn[:, None, None, :] * offs[None, None, :, None]  # [N,S,BW,2]
+    gx_s = image_ops.bilinear_sample(gx, uv)
+    gy_s = image_ops.bilinear_sample(gy, uv)
+    g_par = gx_s * dn[:, None, None, 0] + gy_s * dn[:, None, None, 1]
+    g_perp = gx_s * nn[:, None, None, 0] + gy_s * nn[:, None, None, 1]
+
+    # global Gaussian weight over perpendicular distance (classic LBD f_g)
+    sigma_g = half / 2.0 + 1e-6
+    wg = jnp.exp(-0.5 * (offs / sigma_g) ** 2)[None, None, :]
+
+    feats = jnp.stack(
+        [
+            jnp.maximum(g_perp, 0.0) * wg,
+            jnp.maximum(-g_perp, 0.0) * wg,
+            jnp.maximum(g_par, 0.0) * wg,
+            jnp.maximum(-g_par, 0.0) * wg,
+        ],
+        axis=-1,
+    )  # [N, S, B*Wb, 4]
+    bands = feats.reshape(n, S, B, Wb, 4).sum(axis=3)  # [N, S, B, 4]
+    mean = bands.mean(axis=1)  # [N, B, 4]
+    std = bands.std(axis=1)
+    vec = jnp.concatenate([mean, std], axis=-1).reshape(n, B * 8)  # [N, 72]
+    vec = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-6)
+
+    proj = jnp.asarray(_projection_matrix(B * 8))
+    bits = jnp.einsum("nf,fo->no", vec, proj, precision=jax.lax.Precision.HIGHEST) >= 0
+    desc = jnp.where(bits, jnp.int8(1), jnp.int8(-1))
+    return jnp.where(valid[:, None], desc, jnp.int8(0))
+
+
+# ---------------------------------------------------------------------------
+# Stereo line matching (endpoint disparity)
+# ---------------------------------------------------------------------------
+
+
+def vertical_overlap(l0: LineFeatures, l1: LineFeatures) -> jax.Array:
+    """Pairwise y-overlap ratio [N0, N1] (reference lineSegmentOverlapStereo,
+    src/Frame.cc:1261)."""
+    y0min = jnp.minimum(l0.p0[:, 1], l0.p1[:, 1])[:, None]
+    y0max = jnp.maximum(l0.p0[:, 1], l0.p1[:, 1])[:, None]
+    y1min = jnp.minimum(l1.p0[:, 1], l1.p1[:, 1])[None, :]
+    y1max = jnp.maximum(l1.p0[:, 1], l1.p1[:, 1])[None, :]
+    inter = jnp.maximum(jnp.minimum(y0max, y1max) - jnp.maximum(y0min, y1min), 0.0)
+    shorter = jnp.maximum(jnp.minimum(y0max - y0min, y1max - y1min), 1e-6)
+    return inter / shorter
+
+
+def match_stereo_lines(
+    left: LineFeatures,
+    right: LineFeatures,
+    max_dist: float = 60.0,
+    min_disparity: float = 0.1,
+    max_disparity: float = 192.0,
+    min_overlap: float = 0.5,
+    max_angle_diff_deg: float = 10.0,
+):
+    """Match left->right lines and compute per-endpoint disparities.
+
+    Per matched pair the left endpoints' image rows are intersected with
+    the right line (reference: src/Frame.cc:1228-1230), then filtered by
+    the endpoint-disparity ratio (reference filterLineSegmentDisparity,
+    src/Frame.cc:1297).
+
+    Returns (disp0 [N], disp1 [N], idx_r [N], ok [N]) aligned with left slots.
+    """
+    from pli_slam_tpu.ops import matching
+
+    dist = matching.hamming_matrix(left.desc, right.desc)
+    da = jnp.abs(left.angle[:, None] - right.angle[None, :])
+    da = jnp.minimum(da, 2 * jnp.pi - da)
+    da = jnp.minimum(da, jnp.pi - da)  # direction sign-agnostic
+    gate = (da <= jnp.deg2rad(max_angle_diff_deg)) & (
+        vertical_overlap(left, right) >= min_overlap
+    )
+    idx_r, best, ok = matching.match_nn(dist, left.valid, right.valid, gate, max_dist=max_dist)
+    ok = matching.mutual_consistency(idx_r, ok, dist, left.valid, right.valid, gate)
+
+    lr = right.line_coeffs()[idx_r]  # [N, 3] (a, b, c)
+    a, b, c = lr[:, 0], lr[:, 1], lr[:, 2]
+    # right line must not be near-horizontal (unstable intersection)
+    stable = jnp.abs(a) > 0.05
+
+    def xr_at(y):
+        return -(c + b * y) / jnp.where(jnp.abs(a) < 1e-6, 1e-6, a)
+
+    d0 = left.p0[:, 0] - xr_at(left.p0[:, 1])
+    d1 = left.p1[:, 0] - xr_at(left.p1[:, 1])
+    ratio = jnp.minimum(d0, d1) / jnp.maximum(jnp.maximum(d0, d1), 1e-6)
+    ok = (
+        ok
+        & stable
+        & (d0 > min_disparity) & (d1 > min_disparity)
+        & (d0 < max_disparity) & (d1 < max_disparity)
+        & (ratio > 0.6)
+    )
+    return d0, d1, idx_r, ok

@@ -37,9 +37,16 @@ class LineConfig:
     n_lines: int = 256  # reference lsd_nfeatures cap is <=500; 256 is our padded budget
     min_length_frac: float = 0.025  # min length as fraction of min(W,H) (Config::minLineLength)
     grad_threshold: float = 30.0
-    nms_radius: int = 2
     n_bands: int = 9  # LBD bands
     band_width: int = 7
+    lbd_samples: int = 24  # along-line sample count for the LBD grid
+    # Hough-based detector (TPU-native replacement for LSD region growing)
+    theta_bins: int = 180
+    rho_res: float = 2.0
+    n_candidates: int = 512  # Hough peaks considered before segment NMS
+    n_samples: int = 512  # along-line support samples per candidate
+    support_angle_deg: float = 22.5
+    max_gap: int = 4  # tolerated support gap, in samples
 
 
 @dataclasses.dataclass(frozen=True)

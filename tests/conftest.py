@@ -27,7 +27,7 @@ jax.config.update("jax_platforms", "cpu")
 
 # Compilation on this 2-vCPU host is the test-time bottleneck; persist
 # compiled executables across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
