@@ -1,0 +1,198 @@
+"""Synthetic stereo-inertial sequence generator (renderer + IMU).
+
+Fills the role of the EuRoC replay datasets for testing/benchmarking on
+hosts without the dataset (the reference's drivers replay EuRoC from
+disk, Examples/Stereo-Inertial/stereo_inertial_euroc.cc:124-151). A
+textured "room" (inside of a box with a procedural value-noise texture
+plus a dark grid of straight lines) is ray-traced per pixel on device,
+so any camera trajectory yields photo-consistent stereo pairs with
+abundant ORB corners AND straight line segments; ground-truth poses,
+velocities, and ideal IMU samples come from the analytic trajectory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pli_slam_tpu.ops import lie
+from pli_slam_tpu.ops.camera import Camera
+
+ROOM_HALF = 6.35  # box half-extent; deliberately NOT on the 1 m texture grid
+# (a wall at an integer coordinate would lie entirely inside a grid line)
+
+
+def _value_noise(p: jax.Array, seed: float) -> jax.Array:
+    """Smooth pseudo-random scalar field over 3D points [...,3] -> [0,1]."""
+    out = jnp.zeros(p.shape[:-1])
+    # sum of incommensurate sinusoids — cheap, smooth, corner-rich after
+    # thresholding at multiple frequencies
+    freqs = [(1.3, 2.1, 1.7), (2.9, 1.1, 3.3), (5.1, 4.3, 2.2), (8.7, 7.9, 9.4)]
+    amps = [0.4, 0.3, 0.2, 0.1]
+    for (fx, fy, fz), a in zip(freqs, amps):
+        phase = seed * 12.9898
+        out = out + a * jnp.sin(fx * p[..., 0] + phase) * jnp.sin(fy * p[..., 1] + 1.7 * phase) * jnp.sin(
+            fz * p[..., 2] + 0.3 * phase
+        )
+    return 0.5 + 0.5 * out
+
+
+def _texture(p: jax.Array) -> jax.Array:
+    """Wall texture in [0, 255]: blobby noise + dark grid lines every 1 m."""
+    base = 60.0 + 150.0 * _value_noise(p * 1.0, 0.7)
+    # sharper speckle to create FAST corners
+    speck = _value_noise(p * 4.0, 3.1)
+    base = jnp.where(speck > 0.62, 235.0, base)
+    base = jnp.where(speck < 0.38, 35.0, base)
+    # dark grid lines (axis-aligned planes every 1 m) -> straight image lines
+    def gridline(c):
+        return jnp.abs(c - jnp.round(c)) < 0.06
+    grid = gridline(p[..., 0]) | gridline(p[..., 1]) | gridline(p[..., 2])
+    return jnp.where(grid, 15.0, base)
+
+
+def render_view(cam: Camera, R_wc: jax.Array, t_wc: jax.Array) -> jax.Array:
+    """Ray-trace the room box from camera pose T_wc. Returns [H, W] float32."""
+    h, w = cam.height, cam.width
+    us = (jnp.arange(w, dtype=jnp.float32) - cam.cx) / cam.fx
+    vs = (jnp.arange(h, dtype=jnp.float32) - cam.cy) / cam.fy
+    dirs_c = jnp.stack(
+        [
+            jnp.broadcast_to(us[None, :], (h, w)),
+            jnp.broadcast_to(vs[:, None], (h, w)),
+            jnp.ones((h, w)),
+        ],
+        axis=-1,
+    )
+    d_w = jnp.einsum("ij,hwj->hwi", R_wc, dirs_c, precision=jax.lax.Precision.HIGHEST)
+    o_w = t_wc
+    # intersect with the 6 box planes x,y,z = +-ROOM_HALF, take nearest t>0
+    t_best = jnp.full((h, w), 1e9)
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            denom = d_w[..., axis]
+            t_hit = (sign * ROOM_HALF - o_w[axis]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            hit = o_w + t_hit[..., None] * d_w
+            other = [a for a in range(3) if a != axis]
+            inside = (
+                (t_hit > 0.05)
+                & (jnp.abs(hit[..., other[0]]) <= ROOM_HALF + 1e-3)
+                & (jnp.abs(hit[..., other[1]]) <= ROOM_HALF + 1e-3)
+            )
+            t_best = jnp.where(inside & (t_hit < t_best), t_hit, t_best)
+    p_hit = o_w + t_best[..., None] * d_w
+    img = _texture(p_hit)
+    # slight vignette/shading by distance for realism
+    img = img * (1.0 - 0.015 * jnp.clip(t_best, 0.0, 12.0))
+    return jnp.clip(img, 0.0, 255.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Trajectory:
+    """Analytic smooth trajectory inside the room: p(t), R(t) and derivatives."""
+
+    amp: tuple = (1.8, 1.2, 0.6)
+    freq: tuple = (0.25, 0.31, 0.17)  # Hz
+    yaw_amp: float = 0.5
+    yaw_freq: float = 0.2
+
+    def pose(self, t: float):
+        """Returns (R_wb [3,3], p_w [3]) — body/camera frame: z forward."""
+        ax, ay, az = self.amp
+        fx, fy, fz = self.freq
+        p = np.array(
+            [
+                ax * math.sin(2 * math.pi * fx * t),
+                ay * math.sin(2 * math.pi * fy * t + 1.0),
+                az * math.sin(2 * math.pi * fz * t + 2.0),
+            ]
+        )
+        yaw = self.yaw_amp * math.sin(2 * math.pi * self.yaw_freq * t)
+        pitch = 0.15 * math.sin(2 * math.pi * 0.13 * t + 0.5)
+        cy, sy = math.cos(yaw), math.sin(yaw)
+        cp, sp = math.cos(pitch), math.sin(pitch)
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        return Ry @ Rx, p
+
+    def velocity(self, t: float, eps: float = 1e-4):
+        _, p0 = self.pose(t - eps)
+        _, p1 = self.pose(t + eps)
+        return (p1 - p0) / (2 * eps)
+
+    def imu_sample(self, t: float, gravity: float = 9.81, eps: float = 1e-3):
+        """Ideal gyro (body rates) and accel (specific force in body frame)."""
+        R0, _ = self.pose(t - eps)
+        R1, _ = self.pose(t + eps)
+        Rm, _ = self.pose(t)
+        dR = R0.T @ R1
+        w = np.asarray(lie.so3_log(jnp.asarray(dR, jnp.float32))) / (2 * eps)
+        v0 = self.velocity(t - eps)
+        v1 = self.velocity(t + eps)
+        a_w = (v1 - v0) / (2 * eps)
+        g = np.array([0.0, 0.0, -gravity])
+        a_b = Rm.T @ (a_w - g)  # specific force
+        return w.astype(np.float32), a_b.astype(np.float32)
+
+
+def make_sequence(
+    cam: Camera,
+    n_frames: int,
+    fps: float = 20.0,
+    traj: Trajectory | None = None,
+    imu_rate: float = 200.0,
+):
+    """Generator yielding per-frame dicts with stereo images, gt pose, imu batch."""
+    traj = traj or Trajectory()
+    baseline = float(cam.bf / cam.fx)
+    render = jax.jit(render_view)
+    n_imu = int(round(imu_rate / fps))
+    for k in range(n_frames):
+        t = k / fps
+        R_wc, p_w = traj.pose(t)
+        R_wc_j = jnp.asarray(R_wc, jnp.float32)
+        p_w_j = jnp.asarray(p_w, jnp.float32)
+        # right camera displaced along camera +x
+        p_r = p_w_j + R_wc_j[:, 0] * baseline
+        img_l = render(cam, R_wc_j, p_w_j)
+        img_r = render(cam, R_wc_j, p_r)
+        # IMU samples covering (t_prev, t]
+        stamps = t - (np.arange(n_imu)[::-1]) / imu_rate
+        gyro = np.zeros((n_imu, 3), np.float32)
+        acc = np.zeros((n_imu, 3), np.float32)
+        for i, ts in enumerate(stamps):
+            gyro[i], acc[i] = traj.imu_sample(max(ts, 0.0))
+        yield {
+            "t": t,
+            "img_l": img_l,
+            "img_r": img_r,
+            "R_wc": np.asarray(R_wc, np.float32),
+            "p_w": np.asarray(p_w, np.float32),
+            "v_w": traj.velocity(t).astype(np.float32),
+            "imu_stamps": stamps.astype(np.float32),
+            "imu_gyro": gyro,
+            "imu_acc": acc,
+        }
+
+
+def ate_rmse(est_positions: np.ndarray, gt_positions: np.ndarray) -> float:
+    """Absolute trajectory error after SE(3) (Umeyama, no scale) alignment."""
+    est = np.asarray(est_positions, np.float64)
+    gt = np.asarray(gt_positions, np.float64)
+    mu_e = est.mean(0)
+    mu_g = gt.mean(0)
+    E = est - mu_e
+    G = gt - mu_g
+    H = E.T @ G
+    U, _, Vt = np.linalg.svd(H)
+    S = np.eye(3)
+    if np.linalg.det(U @ Vt) < 0:
+        S[2, 2] = -1.0
+    R = Vt.T @ S @ U.T
+    t = mu_g - R @ mu_e
+    aligned = est @ R.T + t
+    return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
