@@ -1,0 +1,77 @@
+"""Per-frame front-end: one jitted program builds the full working set.
+
+TPU-native replacement for the reference's `Frame` constructor pipeline
+(reference: src/Frame.cc:98-230 — 4 extraction threads, undistortion,
+`ComputeStereoMatches` :976, `ComputeStereoMatches_Lines` :1156,
+`AssignFeaturesToGrid` :451). Here the whole thing — both pyramids,
+FAST, descriptors, line detection, stereo point+line association — is
+one XLA program; there is no feature grid because matching is dense
+(ops/matching.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pli_slam_tpu.ops import lines as line_ops
+from pli_slam_tpu.ops import orb, stereo
+from pli_slam_tpu.ops.camera import Camera
+from pli_slam_tpu.ops.lines import LineFeatures
+from pli_slam_tpu.ops.orb import Features
+from pli_slam_tpu.utils.config import SlamConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameData:
+    """Everything tracking needs about one stereo frame."""
+
+    feats: Features  # left-image ORB features
+    u_right: jax.Array  # [N] refined right-image u (reference mvuRight)
+    stereo_ok: jax.Array  # [N] bool
+    depth: jax.Array  # [N] depth from disparity, -1 where invalid
+    lines: LineFeatures  # left-image line segments
+    line_disp: jax.Array  # [Nl,2] endpoint disparities
+    line_ok: jax.Array  # [Nl] bool — stereo line association valid
+    sigma2: jax.Array  # [N] per-feature measurement variance (scale^2)
+
+
+def build_frame(cam: Camera, cfg: SlamConfig, img_l: jax.Array, img_r: jax.Array) -> FrameData:
+    fl = orb.extract(img_l, cfg.orb)
+    fr = orb.extract(img_r, cfg.orb)
+    u_r, sok = stereo.match_stereo(
+        fl, fr, img_l, img_r, max_disparity=cfg.match.stereo_max_disparity
+    )
+    depth = stereo.depths_from_stereo(fl, u_r, sok, cam.bf)
+
+    if cfg.use_lines:
+        ll = line_ops.detect(img_l, cfg.lines)
+        lr = line_ops.detect(img_r, cfg.lines)
+        d0, d1, _, lok = line_ops.match_stereo_lines(
+            ll, lr, max_disparity=cfg.match.stereo_max_disparity
+        )
+        line_disp = jnp.stack([d0, d1], axis=-1)
+    else:
+        nl = cfg.lines.n_lines
+        ll = LineFeatures(
+            p0=jnp.zeros((nl, 2)), p1=jnp.zeros((nl, 2)), angle=jnp.zeros(nl),
+            length=jnp.zeros(nl), response=jnp.zeros(nl),
+            desc=jnp.zeros((nl, 256), jnp.int8), valid=jnp.zeros(nl, bool),
+        )
+        line_disp = jnp.zeros((nl, 2))
+        lok = jnp.zeros(nl, bool)
+
+    sigma2 = fl.scale ** 2
+    return FrameData(
+        feats=fl, u_right=u_r, stereo_ok=sok, depth=depth,
+        lines=ll, line_disp=line_disp, line_ok=lok, sigma2=sigma2,
+    )
+
+
+def make_build_frame(cam: Camera, cfg: SlamConfig):
+    """Jitted frame builder with camera/config closed over."""
+    return jax.jit(partial(build_frame, cam, cfg))

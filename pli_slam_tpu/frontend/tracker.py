@@ -1,0 +1,491 @@
+"""Tracking: per-frame pose estimation against the landmark stores.
+
+TPU-native replacement for the reference's Tracking thread state machine
+(reference: src/Tracking.cc — `Track()` :1356,
+`TrackWithMotionModelWithLine` :3024, `TrackLocalMap` :3269,
+`SearchLocalPointsAndLines` :3767, `NeedNewKeyFrame` :3407,
+`CreateNewKeyFrame` :3573, `StereoInitialization` :1928).
+
+Design inversion (SURVEY.md §7.1): instead of grid-bucket projection
+searches against a *selected* local map, the frame is matched against
+the ENTIRE point/line store in one gated int8 matmul — at reference
+budgets (1200 x 16384 x 256 int8 ≈ 10 GOP) this is microseconds on one
+MXU, so "local map selection" (UpdateLocalKeyFrames etc.) is not needed
+for the match itself; frustum + window gates do the selection for free.
+
+Two match/solve rounds mirror the reference's motion-model stage then
+track-local-map stage; both run inside one jitted `track_step`. The
+branchy outer state machine (OK / RECENTLY_LOST / LOST, keyframe
+decision) stays on the host, as planned in SURVEY.md §7.3 item 3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pli_slam_tpu.frontend.frame import FrameData, make_build_frame
+from pli_slam_tpu.ops import camera as cam_ops
+from pli_slam_tpu.ops import lie, matching
+from pli_slam_tpu.ops.camera import Camera
+from pli_slam_tpu.solve import gn
+from pli_slam_tpu.solve import ba as ba_mod
+from pli_slam_tpu.utils.config import SlamConfig
+from pli_slam_tpu.worldmap import stores as st
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Jitted device programs
+# ---------------------------------------------------------------------------
+
+
+def _match_points_against_store(cam, cfg, frame: FrameData, R, t, pstore: st.PointStore, radius):
+    """Gated dense match: frame features vs the whole point store."""
+    xc = lie._einsum("ij,pj->pi", R, pstore.x) + t
+    uv_proj = cam_ops.project(cam, xc)
+    frustum = pstore.valid & (xc[:, 2] > 0.1) & cam_ops.in_image(cam, uv_proj, margin=-radius)
+    gate = matching.window_gate(frame.feats.uv, uv_proj, radius) & frustum[None, :]
+    dist = matching.hamming_matrix(frame.feats.desc, pstore.desc)
+    idx, best, ok = matching.match_nn(
+        dist, frame.feats.valid, pstore.valid, gate, max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio
+    )
+    ok = matching.dedup_matches(idx, best, ok, pstore.x.shape[0])
+    return idx, ok, frustum
+
+
+def _match_lines_against_store(cam, cfg, frame: FrameData, R, t, lstore: st.LineStore, radius):
+    """Match frame line segments vs line store by projected-midpoint window + angle."""
+    xs_c = lie._einsum("ij,pj->pi", R, lstore.seg[:, :3]) + t
+    xe_c = lie._einsum("ij,pj->pi", R, lstore.seg[:, 3:]) + t
+    uv_s = cam_ops.project(cam, xs_c)
+    uv_e = cam_ops.project(cam, xe_c)
+    mid_proj = 0.5 * (uv_s + uv_e)
+    infront = (xs_c[:, 2] > 0.1) & (xe_c[:, 2] > 0.1)
+    frustum = lstore.valid & infront & cam_ops.in_image(cam, mid_proj, margin=-2 * radius)
+    ang_proj = jnp.arctan2(uv_e[:, 1] - uv_s[:, 1], uv_e[:, 0] - uv_s[:, 0])
+    da = jnp.abs(frame.lines.angle[:, None] - ang_proj[None, :])
+    da = jnp.minimum(da, 2 * jnp.pi - da)
+    da = jnp.minimum(da, jnp.pi - da)
+    gate = (
+        matching.window_gate(frame.lines.midpoint(), mid_proj, 2.0 * radius)
+        & (da <= jnp.deg2rad(12.0))
+        & frustum[None, :]
+    )
+    dist = matching.hamming_matrix(frame.lines.desc, lstore.desc)
+    idx, best, ok = matching.match_nn(
+        dist, frame.lines.valid, lstore.valid, gate, max_dist=90.0, ratio=0.95
+    )
+    ok = matching.dedup_matches(idx, best, ok, lstore.seg.shape[0])
+    return idx, ok, frustum
+
+
+def _pose_obs_from_matches(cfg, frame: FrameData, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok):
+    uvr = jnp.concatenate([frame.feats.uv, frame.u_right[:, None]], axis=-1)
+    safe_pt = jnp.maximum(pt_idx, 0)
+    safe_ln = jnp.maximum(ln_idx, 0)
+    return gn.PoseObservations(
+        x_w=pstore.x[safe_pt],
+        uvr=uvr,
+        stereo_mask=frame.stereo_ok,
+        point_mask=pt_ok & frame.feats.valid,
+        sigma2_pt=frame.sigma2,
+        xs_w=lstore.seg[safe_ln, :3],
+        xe_w=lstore.seg[safe_ln, 3:],
+        l_obs=frame.lines.line_coeffs(),
+        line_mask=ln_ok & frame.lines.valid,
+        sigma2_ln=jnp.ones_like(frame.lines.angle),
+    )
+
+
+def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointStore, lstore: st.LineStore):
+    """Two-round match+solve. Returns refined pose, per-slot associations,
+    inlier masks, and stores with updated visible/found counters."""
+    r1 = cfg.match.search_radius_px
+    pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1)
+    ln_idx, ln_ok, _ = _match_lines_against_store(cam, cfg, frame, R0, t0, lstore, r1)
+    obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
+    res1 = gn.solve_pose(cam, obs, R0, t0, cfg.opt)
+
+    # round 2: re-match with the refined pose, tighter window (the
+    # reference's TrackLocalMap with th=1-2)
+    r2 = jnp.maximum(r1 * 0.4, 4.0)
+    pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, res1.R_cw, res1.t_cw, pstore, r2)
+    ln_idx, ln_ok, ln_frust = _match_lines_against_store(cam, cfg, frame, res1.R_cw, res1.t_cw, lstore, r2)
+    obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
+    res2 = gn.solve_pose(cam, obs, res1.R_cw, res1.t_cw, cfg.opt)
+
+    pt_in = pt_ok & res2.inlier_pt
+    ln_in = ln_ok & res2.inlier_ln
+    # bookkeeping counters (reference IncreaseVisible/IncreaseFound)
+    pstore = dataclasses.replace(
+        pstore,
+        visible=pstore.visible + pt_frust.astype(jnp.int32),
+        found=pstore.found.at[jnp.maximum(pt_idx, 0)].add(pt_in.astype(jnp.int32)),
+    )
+    lstore = dataclasses.replace(
+        lstore,
+        visible=lstore.visible + ln_frust.astype(jnp.int32),
+        found=lstore.found.at[jnp.maximum(ln_idx, 0)].add(ln_in.astype(jnp.int32)),
+    )
+    n_in = jnp.sum(pt_in.astype(jnp.int32)) + jnp.sum(ln_in.astype(jnp.int32))
+    return res2.R_cw, res2.t_cw, pt_idx, pt_in, ln_idx, ln_in, n_in, pstore, lstore
+
+
+def insert_keyframe(
+    cam,
+    cfg: SlamConfig,
+    frame: FrameData,
+    R,
+    t,
+    stamp,
+    pt_idx,
+    pt_in,
+    ln_idx,
+    ln_in,
+    kf_slot,
+    pstore: st.PointStore,
+    lstore: st.LineStore,
+    kstore: st.KeyFrameStore,
+):
+    """Create a keyframe: allocate new landmarks from stereo, write the
+    observation tables, update landmark bookkeeping, cull bad landmarks.
+
+    (reference: Tracking::CreateNewKeyFrame :3573 + StereoInitialization
+    landmark creation + LocalMapping::MapPointCulling :301)
+    """
+    R_wc = R.T
+    t_wc = -lie._einsum("ij,j->i", R.T, t)
+
+    # ---- new point landmarks from unmatched stereo features ------------
+    # The reference gates close-point creation at mThDepth=40*baseline and
+    # relies on LocalMapping triangulation for far points; until the
+    # triangulation stage exists, allow deeper stereo landmarks.
+    max_depth = 120.0 * cam.bf / cam.fx
+    depth_ok = frame.stereo_ok & (frame.depth > 0) & (frame.depth < max_depth)
+    want_new = frame.feats.valid & depth_ok & ~(pt_in & (pt_idx >= 0))
+    slots, ok_new = st.alloc_slots(~pstore.valid, want_new)
+    disparity = frame.feats.uv[:, 0] - frame.u_right
+    x_c = cam_ops.back_project_stereo(cam, frame.feats.uv, disparity)
+    x_w = lie._einsum("ij,nj->ni", R_wc, x_c) + t_wc
+    safe_slots = jnp.maximum(slots, 0)
+    pstore = dataclasses.replace(
+        pstore,
+        x=pstore.x.at[safe_slots].set(jnp.where(ok_new[:, None], x_w, pstore.x[safe_slots])),
+        desc=pstore.desc.at[safe_slots].set(
+            jnp.where(ok_new[:, None], frame.feats.desc, pstore.desc[safe_slots])
+        ),
+        valid=pstore.valid.at[safe_slots].set(ok_new | pstore.valid[safe_slots]),
+        n_obs=pstore.n_obs.at[safe_slots].set(
+            jnp.where(ok_new, 1, pstore.n_obs[safe_slots])
+        ),
+        visible=pstore.visible.at[safe_slots].set(
+            jnp.where(ok_new, 1, pstore.visible[safe_slots])
+        ),
+        found=pstore.found.at[safe_slots].set(jnp.where(ok_new, 1, pstore.found[safe_slots])),
+        first_kf=pstore.first_kf.at[safe_slots].set(
+            jnp.where(ok_new, kf_slot, pstore.first_kf[safe_slots])
+        ),
+    )
+    lm_id = jnp.where(ok_new, slots, jnp.where(pt_in, pt_idx, -1)).astype(jnp.int32)
+
+    # refresh descriptor of re-observed landmarks to the latest view
+    # (cheap stand-in for ComputeDistinctiveDescriptors)
+    reobs = pt_in & (pt_idx >= 0)
+    safe_idx = jnp.maximum(pt_idx, 0)
+    pstore = dataclasses.replace(
+        pstore,
+        desc=pstore.desc.at[safe_idx].set(
+            jnp.where(reobs[:, None], frame.feats.desc, pstore.desc[safe_idx])
+        ),
+        n_obs=pstore.n_obs.at[safe_idx].add(reobs.astype(jnp.int32)),
+        last_kf=pstore.last_kf.at[safe_idx].set(
+            jnp.where(reobs, kf_slot, pstore.last_kf[safe_idx])
+        ),
+    )
+
+    # ---- new line landmarks from stereo line disparities ---------------
+    ln_depth_ok = frame.line_ok & jnp.all(frame.line_disp > 0.5, axis=-1)
+    want_new_ln = frame.lines.valid & ln_depth_ok & ~(ln_in & (ln_idx >= 0))
+    lslots, lok_new = st.alloc_slots(~lstore.valid, want_new_ln)
+    xs_c = cam_ops.back_project_stereo(cam, frame.lines.p0, frame.line_disp[:, 0])
+    xe_c = cam_ops.back_project_stereo(cam, frame.lines.p1, frame.line_disp[:, 1])
+    seg_w = jnp.concatenate(
+        [
+            lie._einsum("ij,nj->ni", R_wc, xs_c) + t_wc,
+            lie._einsum("ij,nj->ni", R_wc, xe_c) + t_wc,
+        ],
+        axis=-1,
+    )
+    safe_l = jnp.maximum(lslots, 0)
+    lstore = dataclasses.replace(
+        lstore,
+        seg=lstore.seg.at[safe_l].set(jnp.where(lok_new[:, None], seg_w, lstore.seg[safe_l])),
+        desc=lstore.desc.at[safe_l].set(
+            jnp.where(lok_new[:, None], frame.lines.desc, lstore.desc[safe_l])
+        ),
+        valid=lstore.valid.at[safe_l].set(lok_new | lstore.valid[safe_l]),
+        n_obs=lstore.n_obs.at[safe_l].set(jnp.where(lok_new, 1, lstore.n_obs[safe_l])),
+        visible=lstore.visible.at[safe_l].set(jnp.where(lok_new, 1, lstore.visible[safe_l])),
+        found=lstore.found.at[safe_l].set(jnp.where(lok_new, 1, lstore.found[safe_l])),
+        first_kf=lstore.first_kf.at[safe_l].set(
+            jnp.where(lok_new, kf_slot, lstore.first_kf[safe_l])
+        ),
+    )
+    lml_id = jnp.where(lok_new, lslots, jnp.where(ln_in, ln_idx, -1)).astype(jnp.int32)
+    reobs_l = ln_in & (ln_idx >= 0)
+    lstore = dataclasses.replace(
+        lstore,
+        n_obs=lstore.n_obs.at[jnp.maximum(ln_idx, 0)].add(reobs_l.astype(jnp.int32)),
+    )
+
+    # ---- write the keyframe row -----------------------------------------
+    uvr = jnp.concatenate([frame.feats.uv, frame.u_right[:, None]], axis=-1)
+    kstore = dataclasses.replace(
+        kstore,
+        R=kstore.R.at[kf_slot].set(R),
+        t=kstore.t.at[kf_slot].set(t),
+        stamp=kstore.stamp.at[kf_slot].set(stamp),
+        valid=kstore.valid.at[kf_slot].set(True),
+        obs_pt=kstore.obs_pt.at[kf_slot].set(lm_id),
+        obs_uvr=kstore.obs_uvr.at[kf_slot].set(uvr),
+        obs_sigma2=kstore.obs_sigma2.at[kf_slot].set(frame.sigma2),
+        obs_stereo=kstore.obs_stereo.at[kf_slot].set(frame.stereo_ok),
+        obs_ln=kstore.obs_ln.at[kf_slot].set(lml_id),
+        obs_l=kstore.obs_l.at[kf_slot].set(frame.lines.line_coeffs()),
+        obs_ln_sigma2=kstore.obs_ln_sigma2.at[kf_slot].set(jnp.ones_like(frame.lines.angle)),
+    )
+
+    # ---- landmark culling (reference MapPointCulling semantics) ---------
+    # cull only YOUNG low-quality landmarks (the reference restricts
+    # MapPointCulling to points created within the last 2-3 KFs)
+    ratio = pstore.found.astype(jnp.float32) / jnp.maximum(pstore.visible.astype(jnp.float32), 1.0)
+    young = (kf_slot - pstore.first_kf) <= 3
+    bad = pstore.valid & young & (pstore.visible > 8) & (ratio < cfg.map.cull_found_ratio)
+    pstore = dataclasses.replace(pstore, valid=pstore.valid & ~bad)
+    ratio_l = lstore.found.astype(jnp.float32) / jnp.maximum(lstore.visible.astype(jnp.float32), 1.0)
+    young_l = (kf_slot - lstore.first_kf) <= 3
+    bad_l = lstore.valid & young_l & (lstore.visible > 8) & (ratio_l < cfg.map.cull_found_ratio)
+    lstore = dataclasses.replace(lstore, valid=lstore.valid & ~bad_l)
+
+    n_new = jnp.sum(ok_new.astype(jnp.int32))
+    return pstore, lstore, kstore, n_new
+
+
+def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore, window: jax.Array, fixed: jax.Array):
+    """Windowed BA over `window` (int32 [W] KF slots). Updates stores.
+
+    (reference: LocalMapping -> Optimizer::LocalBundleAdjustment :1864;
+    improved: line landmarks are optimized too)
+    """
+    W = window.shape[0]
+    S = kstore.obs_pt.shape[1]
+    Sl = kstore.obs_ln.shape[1]
+    win_valid = kstore.valid[window]
+
+    po_pose = jnp.repeat(jnp.arange(W, dtype=jnp.int32), S)
+    po_pt = kstore.obs_pt[window].reshape(-1)
+    po_mask = (po_pt >= 0) & jnp.repeat(win_valid, S)
+    prob = ba_mod.BAProblem(
+        R=kstore.R[window],
+        t=kstore.t[window],
+        pose_mask=win_valid,
+        fixed_mask=fixed | ~win_valid,
+        pts=pstore.x,
+        pt_mask=pstore.valid,
+        lns=lstore.seg,
+        ln_mask=lstore.valid,
+        po_pose=po_pose,
+        po_pt=jnp.maximum(po_pt, 0),
+        po_uvr=kstore.obs_uvr[window].reshape(-1, 3),
+        po_stereo=kstore.obs_stereo[window].reshape(-1),
+        po_sigma2=kstore.obs_sigma2[window].reshape(-1),
+        po_mask=po_mask,
+        lo_pose=jnp.repeat(jnp.arange(W, dtype=jnp.int32), Sl),
+        lo_ln=jnp.maximum(kstore.obs_ln[window].reshape(-1), 0),
+        lo_l=kstore.obs_l[window].reshape(-1, 3),
+        lo_sigma2=kstore.obs_ln_sigma2[window].reshape(-1),
+        lo_mask=(kstore.obs_ln[window].reshape(-1) >= 0) & jnp.repeat(win_valid, Sl),
+    )
+    result = ba_mod.solve_ba(cam, prob, cfg.opt, iters=cfg.opt.local_ba_iters)
+    kstore = dataclasses.replace(
+        kstore,
+        R=kstore.R.at[window].set(result.R),
+        t=kstore.t.at[window].set(result.t),
+    )
+    pstore = dataclasses.replace(pstore, x=result.pts)
+    lstore = dataclasses.replace(lstore, seg=result.lns)
+    return kstore, pstore, lstore
+
+
+# ---------------------------------------------------------------------------
+# Host-side tracker
+# ---------------------------------------------------------------------------
+
+
+class TrackingState:
+    NOT_INITIALIZED = "NOT_INITIALIZED"
+    OK = "OK"
+    RECENTLY_LOST = "RECENTLY_LOST"
+    LOST = "LOST"
+
+
+class Tracker:
+    """Host orchestration of the jitted device programs.
+
+    The reference runs Tracking/LocalMapping as separate threads over
+    shared memory; here each frame runs: build -> track (device), and on
+    keyframe insertion: insert + windowed BA (device), sequentially and
+    deterministically.
+    """
+
+    def __init__(self, cam: Camera, cfg: SlamConfig):
+        self.cam = cam
+        self.cfg = cfg
+        self.build_frame = make_build_frame(cam, cfg)
+        self._track = jax.jit(partial(track_step, cam, cfg))
+        self._insert = jax.jit(partial(insert_keyframe, cam, cfg))
+        self._ba = jax.jit(partial(local_ba, cam, cfg))
+
+        m = cfg.map
+        self.pstore = st.PointStore.empty(m.max_points)
+        self.lstore = st.LineStore.empty(m.max_lines)
+        self.kstore = st.KeyFrameStore.empty(
+            m.max_keyframes, cfg.orb.n_features, cfg.lines.n_lines
+        )
+        self.state = TrackingState.NOT_INITIALIZED
+        self.n_kf = 0
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.R_prev = jnp.eye(3)
+        self.t_prev = jnp.zeros(3)
+        self.vel_xi = None  # motion model twist (T_cw_k ∘ T_wc_{k-1})
+        self.frames_since_kf = 0
+        self.last_kf_inliers = 0
+        self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self.stats: list[dict] = []
+
+    # -- pose helpers ------------------------------------------------------
+    def _predict_pose(self):
+        if self.vel_xi is None or not self.cfg.tracking.motion_model:
+            return self.R, self.t
+        dR, dt = lie.se3_exp(self.vel_xi)
+        R0 = lie._mm(dR, self.R)
+        t0 = lie._einsum("ij,j->i", dR, self.t) + dt
+        return R0, t0
+
+    def _update_motion_model(self):
+        # velocity twist: current T_cw composed with previous T_wc
+        R_rel = lie._mm(self.R, self.R_prev.T)
+        t_rel = self.t - lie._einsum("ij,j->i", R_rel, self.t_prev)
+        self.vel_xi = lie.se3_log(R_rel, t_rel)
+
+    # -- main entry --------------------------------------------------------
+    def process(self, img_l, img_r, stamp: float) -> dict:
+        frame = self.build_frame(jnp.asarray(img_l), jnp.asarray(img_r))
+        if self.state == TrackingState.NOT_INITIALIZED:
+            return self._initialize(frame, stamp)
+
+        R0, t0 = self._predict_pose()
+        (R, t, pt_idx, pt_in, ln_idx, ln_in, n_in, self.pstore, self.lstore) = self._track(
+            frame, R0, t0, self.pstore, self.lstore
+        )
+        n_inliers = int(n_in)
+
+        self.R_prev, self.t_prev = self.R, self.t
+        if n_inliers >= self.cfg.tracking.min_inliers_track:
+            self.R, self.t = R, t
+            self.state = TrackingState.OK
+            self._update_motion_model()
+        else:
+            # dead-reckon on the motion model (RECENTLY_LOST behavior)
+            self.R, self.t = R0, t0
+            self.state = TrackingState.RECENTLY_LOST
+
+        self.frames_since_kf += 1
+        need_kf = self.state == TrackingState.OK and (
+            self.frames_since_kf >= self.cfg.tracking.kf_max_interval
+            or n_inliers < self.cfg.tracking.kf_ref_ratio * max(self.last_kf_inliers, 1)
+        )
+        n_new = 0
+        if need_kf and self.n_kf < self.cfg.map.max_keyframes:
+            n_new = self._create_keyframe(frame, stamp, pt_idx, pt_in, ln_idx, ln_in)
+            self.last_kf_inliers = n_inliers
+            self.frames_since_kf = 0
+
+        self._record(stamp)
+        info = {
+            "state": self.state,
+            "n_inliers": n_inliers,
+            "n_kf": self.n_kf,
+            "n_points": int(self.pstore.valid.sum()),
+            "n_lines": int(self.lstore.valid.sum()),
+            "new_landmarks": int(n_new),
+        }
+        self.stats.append(info)
+        return info
+
+    def _initialize(self, frame: FrameData, stamp: float) -> dict:
+        n_stereo = int((frame.stereo_ok & frame.feats.valid).sum())
+        if n_stereo < self.cfg.tracking.min_init_features:
+            return {"state": self.state, "n_inliers": 0, "n_kf": 0, "n_points": 0, "n_lines": 0, "new_landmarks": 0}
+        neg = jnp.full(frame.feats.uv.shape[0], -1, jnp.int32)
+        negl = jnp.full(frame.lines.angle.shape[0], -1, jnp.int32)
+        f_mask = jnp.zeros(frame.feats.uv.shape[0], bool)
+        l_mask = jnp.zeros(frame.lines.angle.shape[0], bool)
+        self.pstore, self.lstore, self.kstore, n_new = self._insert(
+            frame, self.R, self.t, stamp, neg, f_mask, negl, l_mask, self.n_kf,
+            self.pstore, self.lstore, self.kstore,
+        )
+        self.n_kf = 1
+        self.state = TrackingState.OK
+        self.last_kf_inliers = n_stereo
+        self.frames_since_kf = 0
+        self._record(stamp)
+        info = {"state": self.state, "n_inliers": n_stereo, "n_kf": 1,
+                "n_points": int(self.pstore.valid.sum()), "n_lines": int(self.lstore.valid.sum()),
+                "new_landmarks": int(n_new)}
+        self.stats.append(info)
+        return info
+
+    def _create_keyframe(self, frame, stamp, pt_idx, pt_in, ln_idx, ln_in) -> int:
+        self.pstore, self.lstore, self.kstore, n_new = self._insert(
+            frame, self.R, self.t, stamp, pt_idx, pt_in, ln_idx, ln_in, self.n_kf,
+            self.pstore, self.lstore, self.kstore,
+        )
+        self.n_kf += 1
+        # windowed BA over the last W keyframes (first two fixed for gauge)
+        W = self.cfg.opt.local_ba_window
+        lo = max(self.n_kf - W, 0)
+        window = np.arange(lo, lo + W)
+        window = np.clip(window, 0, max(self.n_kf - 1, 0))
+        n_fixed = max(self.cfg.opt.local_ba_fixed, W - (self.n_kf - lo))
+        fixed = np.zeros(W, bool)
+        fixed[: max(1, n_fixed)] = True
+        # also fix duplicated padding entries
+        for i in range(1, W):
+            if window[i] <= window[i - 1]:
+                fixed[i] = True
+        if self.n_kf >= 3:
+            self.kstore, self.pstore, self.lstore = self._ba(
+                self.kstore, self.pstore, self.lstore,
+                jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
+            )
+            # tracking pose continues from the refined latest KF
+            k = self.n_kf - 1
+            self.R = self.kstore.R[k]
+            self.t = self.kstore.t[k]
+        return int(n_new)
+
+    def _record(self, stamp: float):
+        R_wc = np.asarray(self.R).T
+        p_w = -R_wc @ np.asarray(self.t)
+        self.trajectory.append((stamp, R_wc, p_w))
+
+    def positions(self) -> np.ndarray:
+        return np.stack([p for _, _, p in self.trajectory])

@@ -56,7 +56,11 @@ def match_stereo(
     g_scale = matching.scale_gate(left.octave, right.octave, 1)
     gate = g_row & g_disp & g_scale
 
-    idx_r, best, ok = matching.match_nn(dist, left.valid, right.valid, gate, max_dist=max_dist)
+    idx_r, best, ok = matching.match_nn(
+        dist, left.valid, right.valid, gate, max_dist=max_dist, ratio=0.85
+    )
+    # mutual best-match check kills most repeated-texture mismatches
+    ok = matching.mutual_consistency(idx_r, ok, dist, left.valid, right.valid, gate)
 
     # --- sub-pixel SAD refinement around the matched column ------------
     # (reference: Frame.cc:1049-1116 — 11x11 mean-normalized SAD, +-5 px,

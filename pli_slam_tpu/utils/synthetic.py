@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +56,7 @@ def _texture(p: jax.Array) -> jax.Array:
     return jnp.where(grid, 15.0, base)
 
 
-def render_view(cam: Camera, R_wc: jax.Array, t_wc: jax.Array) -> jax.Array:
+def render_view(cam: Camera, R_wc: jax.Array, t_wc: jax.Array, room_half: float = ROOM_HALF) -> jax.Array:
     """Ray-trace the room box from camera pose T_wc. Returns [H, W] float32."""
     h, w = cam.height, cam.width
     us = (jnp.arange(w, dtype=jnp.float32) - cam.cx) / cam.fx
@@ -75,13 +76,13 @@ def render_view(cam: Camera, R_wc: jax.Array, t_wc: jax.Array) -> jax.Array:
     for axis in range(3):
         for sign in (-1.0, 1.0):
             denom = d_w[..., axis]
-            t_hit = (sign * ROOM_HALF - o_w[axis]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            t_hit = (sign * room_half - o_w[axis]) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
             hit = o_w + t_hit[..., None] * d_w
             other = [a for a in range(3) if a != axis]
             inside = (
                 (t_hit > 0.05)
-                & (jnp.abs(hit[..., other[0]]) <= ROOM_HALF + 1e-3)
-                & (jnp.abs(hit[..., other[1]]) <= ROOM_HALF + 1e-3)
+                & (jnp.abs(hit[..., other[0]]) <= room_half + 1e-3)
+                & (jnp.abs(hit[..., other[1]]) <= room_half + 1e-3)
             )
             t_best = jnp.where(inside & (t_hit < t_best), t_hit, t_best)
     p_hit = o_w + t_best[..., None] * d_w
@@ -145,11 +146,12 @@ def make_sequence(
     fps: float = 20.0,
     traj: Trajectory | None = None,
     imu_rate: float = 200.0,
+    room_half: float = ROOM_HALF,
 ):
     """Generator yielding per-frame dicts with stereo images, gt pose, imu batch."""
     traj = traj or Trajectory()
     baseline = float(cam.bf / cam.fx)
-    render = jax.jit(render_view)
+    render = jax.jit(partial(render_view, room_half=room_half))
     n_imu = int(round(imu_rate / fps))
     for k in range(n_frames):
         t = k / fps
