@@ -169,10 +169,25 @@ def insert_keyframe(
     max_depth = 120.0 * cam.bf / cam.fx
     depth_ok = frame.stereo_ok & (frame.depth > 0) & (frame.depth < max_depth)
     want_new = frame.feats.valid & depth_ok & ~(pt_in & (pt_idx >= 0))
-    slots, ok_new = st.alloc_slots(~pstore.valid, want_new)
     disparity = frame.feats.uv[:, 0] - frame.u_right
     x_c = cam_ops.back_project_stereo(cam, frame.feats.uv, disparity)
     x_w = lie._einsum("ij,nj->ni", R_wc, x_c) + t_wc
+
+    # ---- fuse-before-create (reference ORBmatcher::Fuse semantics) ------
+    # A feature whose tracking match failed would otherwise spawn a
+    # duplicate of an existing landmark; duplicates then defeat the
+    # ratio test and collapse tracking. Re-associate candidates to the
+    # store by 3D proximity (depth-proportional radius) + descriptor.
+    merge_r = 0.05 * x_c[:, 2]  # [N]
+    d3 = jnp.sum((x_w[:, None, :] - pstore.x[None, :, :]) ** 2, axis=-1)
+    fuse_gate = (d3 <= (merge_r[:, None] ** 2)) & pstore.valid[None, :]
+    fuse_dist = matching.hamming_matrix(frame.feats.desc, pstore.desc)
+    fuse_idx, fuse_best, fuse_ok = matching.match_nn(
+        fuse_dist, want_new, pstore.valid, fuse_gate, max_dist=64.0
+    )
+    fuse_ok = matching.dedup_matches(fuse_idx, fuse_best, fuse_ok, pstore.x.shape[0])
+    want_new = want_new & ~fuse_ok
+    slots, ok_new = st.alloc_slots(~pstore.valid, want_new)
     safe_slots = jnp.maximum(slots, 0)
     pstore = dataclasses.replace(
         pstore,
@@ -192,12 +207,15 @@ def insert_keyframe(
             jnp.where(ok_new, kf_slot, pstore.first_kf[safe_slots])
         ),
     )
-    lm_id = jnp.where(ok_new, slots, jnp.where(pt_in, pt_idx, -1)).astype(jnp.int32)
+    lm_id = jnp.where(
+        ok_new, slots,
+        jnp.where(fuse_ok, fuse_idx, jnp.where(pt_in, pt_idx, -1)),
+    ).astype(jnp.int32)
 
     # refresh descriptor of re-observed landmarks to the latest view
     # (cheap stand-in for ComputeDistinctiveDescriptors)
-    reobs = pt_in & (pt_idx >= 0)
-    safe_idx = jnp.maximum(pt_idx, 0)
+    reobs = (pt_in & (pt_idx >= 0)) | fuse_ok
+    safe_idx = jnp.maximum(jnp.where(fuse_ok, fuse_idx, pt_idx), 0)
     pstore = dataclasses.replace(
         pstore,
         desc=pstore.desc.at[safe_idx].set(
@@ -408,14 +426,22 @@ class Tracker:
             self.state = TrackingState.RECENTLY_LOST
 
         self.frames_since_kf += 1
-        need_kf = self.state == TrackingState.OK and (
-            self.frames_since_kf >= self.cfg.tracking.kf_max_interval
-            or n_inliers < self.cfg.tracking.kf_ref_ratio * max(self.last_kf_inliers, 1)
+        # KF decision (reference NeedNewKeyFrame c1a/c2): compare against
+        # what the reference keyframe OBSERVES (inliers + landmarks it
+        # created), which is stable — not against the degraded inlier
+        # count at its creation time.
+        need_kf = (
+            self.state == TrackingState.OK
+            and self.frames_since_kf > max(self.cfg.tracking.kf_min_interval, 1)
+            and (
+                self.frames_since_kf >= self.cfg.tracking.kf_max_interval
+                or n_inliers < self.cfg.tracking.kf_ref_ratio * max(self.last_kf_inliers, 1)
+            )
         )
         n_new = 0
         if need_kf and self.n_kf < self.cfg.map.max_keyframes:
             n_new = self._create_keyframe(frame, stamp, pt_idx, pt_in, ln_idx, ln_in)
-            self.last_kf_inliers = n_inliers
+            self.last_kf_inliers = n_inliers + int(n_new)
             self.frames_since_kf = 0
 
         self._record(stamp)

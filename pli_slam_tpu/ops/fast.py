@@ -40,16 +40,18 @@ def _has_contiguous_arc(ring_bits: jax.Array) -> jax.Array:
     return ok
 
 
-def fast_score(img: jax.Array, threshold: float) -> tuple[jax.Array, jax.Array]:
+def fast_score(img: jax.Array, threshold: float, diff: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """FAST-9/16 corner response over the full image.
 
     Returns (score [H,W] float32, is_corner [H,W] bool). Score is the
     sum of threshold-excess absolute differences on the dominant side
     (the cv::FAST V-score up to normalization). A 3-pixel border is
-    masked out.
+    masked out. `diff` (the precomputed ring-difference stack) can be
+    shared between threshold passes.
     """
-    ring = _ring_stack(img)  # [16, H, W]
-    diff = ring - img[None]
+    if diff is None:
+        ring = _ring_stack(img)  # [16, H, W]
+        diff = ring - img[None]
     brighter = diff > threshold
     darker = diff < -threshold
 
@@ -87,9 +89,10 @@ def detect(img: jax.Array, threshold: float, min_threshold: float | None = None)
     simply kept at a score discount so cell-wise top-K naturally prefers
     strict corners but can fall back — same intent, no second pass.
     """
-    score_hi, _ = fast_score(img, threshold)
+    diff = _ring_stack(img) - img[None]
+    score_hi, _ = fast_score(img, threshold, diff)
     if min_threshold is not None and min_threshold < threshold:
-        score_lo, _ = fast_score(img, min_threshold)
+        score_lo, _ = fast_score(img, min_threshold, diff)
         # strict corners dominate: lift them above every fallback corner
         score = jnp.where(score_hi > 0, score_hi + 1e4, score_lo)
     else:

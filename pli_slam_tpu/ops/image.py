@@ -25,26 +25,30 @@ def gaussian_kernel1d(sigma: float, radius: int) -> jax.Array:
     return k / jnp.sum(k)
 
 
+def _sep_filter(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
+    """1-D filter along `axis` via shifted adds (VPU-friendly).
+
+    XLA lowers single-channel 2-D convs poorly on TPU (the MXU wants many
+    channels); a k-tap separable filter as k rolls + fused multiply-adds
+    is purely elementwise and runs at HBM bandwidth instead.
+    Edge handling approximates replicate-padding (roll wraps, but the
+    border pixels involved are masked out by every consumer).
+    """
+    radius = taps.shape[0] // 2
+    out = jnp.zeros_like(img)
+    for i in range(taps.shape[0]):
+        out = out + taps[i] * jnp.roll(img, radius - i, axis=axis)
+    return out
+
+
 def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int = 3) -> jax.Array:
-    """Separable Gaussian blur with edge replication (matches cv BORDER_REFLECT-ish).
+    """Separable Gaussian blur as shifted adds.
 
     (reference blurs with 7x7 sigma=2 before computing descriptors,
     src/ORBextractor.cc:1105)
     """
     k = gaussian_kernel1d(sigma, radius)
-    img4 = img[None, None, :, :]
-    pad = ((radius, radius), (0, 0))
-    x = jnp.pad(img4, ((0, 0), (0, 0)) + pad, mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, :, None], window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (radius, radius)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, None, :], window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return x[0, 0]
+    return _sep_filter(_sep_filter(img, k, 0), k, 1)
 
 
 def bilinear_resize(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
@@ -89,14 +93,12 @@ def build_pyramid(img: jax.Array, n_levels: int, scale_factor: float) -> list[ja
 
 
 def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Sobel gx, gy with replicate padding. Used by the line detector."""
-    img4 = jnp.pad(img[None, None], ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-    ky = kx.T
-    gx = jax.lax.conv_general_dilated(
-        img4, kx[None, None], (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        img4, ky[None, None], (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    """Sobel gx, gy as separable shifted adds (Sobel = smooth [1,2,1] x diff
+    [-1,0,1]); single-channel 2-D convs are slow on TPU."""
+    smooth = jnp.array([1.0, 2.0, 1.0], jnp.float32)
+    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    gx = _sep_filter(_sep_filter(img, smooth, 0), diff, 1)
+    gy = _sep_filter(_sep_filter(img, smooth, 1), diff, 0)
     return gx, gy
 
 
