@@ -65,4 +65,4 @@ def test_trajectory_io(tmp_path, run_result):
     tio.save_kitti(str(tmp_path / "kitti.txt"), tracker.trajectory)
     tio.save_euroc(str(tmp_path / "euroc.csv"), tracker.trajectory)
     t_rpe, r_rpe = tio.rpe_rmse(tracker.trajectory, tracker.trajectory)
-    assert t_rpe < 1e-6 and r_rpe < 1e-2  # arccos noise floor on identical input
+    assert t_rpe < 1e-6 and r_rpe < 0.05  # f32 arccos noise floor ~0.02 deg
