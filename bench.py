@@ -1,0 +1,83 @@
+"""Benchmark: end-to-end stereo point+line tracking throughput on one chip.
+
+Runs the full per-frame pipeline (ORB + line extraction, stereo
+association, two gated match->GN-solve rounds against the landmark map,
+keyframe insertion + windowed BA when triggered) at the reference's
+EuRoC operating point — 752x480 stereo, 1200 ORB features x 8 levels,
+line budget, 20 fps real-time gate (BASELINE.md). Input frames are
+pre-rendered synthetic stereo pairs (no EuRoC data on this host).
+
+Prints ONE JSON line:
+  {"metric": "tracking_fps_752x480", "value": <fps>, "unit": "fps",
+   "vs_baseline": <fps / 20.0>}
+
+vs_baseline > 1 means faster than the reference's real-time gate
+(the reference holds 20 fps on CPU by construction — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+
+
+def main():
+    from pli_slam_tpu.frontend.tracker import Tracker
+    from pli_slam_tpu.ops.camera import Camera
+    from pli_slam_tpu.utils import synthetic
+    from pli_slam_tpu.utils.config import SlamConfig
+
+    cfg = SlamConfig.euroc_stereo()
+    cam = Camera.pinhole(
+        fx=435.2, fy=435.2, cx=367.4, cy=252.2, bf=0.11 * 435.2, width=752, height=480
+    )
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
+    frames = []
+    for fr in synthetic.make_sequence(cam, n_frames, fps=cfg.fps):
+        frames.append((fr["img_l"], fr["img_r"], fr["t"], fr["p_w"]))
+    jax.block_until_ready(frames[-1][0])
+
+    tracker = Tracker(cam, cfg)
+    # warmup: compile every program variant (frame, track, insert, BA)
+    for img_l, img_r, t, _ in frames[:3]:
+        tracker.process(img_l, img_r, t)
+
+    t0 = time.time()
+    for img_l, img_r, t, _ in frames[3:]:
+        tracker.process(img_l, img_r, t)
+    elapsed = time.time() - t0
+    fps = (n_frames - 3) / elapsed
+
+    gt = np.stack([p for _, _, _, p in frames])
+    est = tracker.positions()
+    ate = synthetic.ate_rmse(est, gt)
+
+    result = {
+        "metric": "tracking_fps_752x480",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 20.0, 3),
+        "extra": {
+            "ate_m_synthetic": round(ate, 4),
+            "frames": n_frames,
+            "n_keyframes": tracker.n_kf,
+            "n_points": int(tracker.pstore.valid.sum()),
+            "n_lines": int(tracker.lstore.valid.sum()),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

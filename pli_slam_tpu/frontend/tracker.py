@@ -306,9 +306,13 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
     Sl = kstore.obs_ln.shape[1]
     win_valid = kstore.valid[window]
 
+    # mask rows that duplicate an earlier window entry (window padding) —
+    # their observations would otherwise be double-counted
+    dup = jnp.any((window[:, None] == window[None, :]) & (jnp.arange(W)[None, :] < jnp.arange(W)[:, None]), axis=1)
+    row_ok = win_valid & ~dup
     po_pose = jnp.repeat(jnp.arange(W, dtype=jnp.int32), S)
     po_pt = kstore.obs_pt[window].reshape(-1)
-    po_mask = (po_pt >= 0) & jnp.repeat(win_valid, S)
+    po_mask = (po_pt >= 0) & jnp.repeat(row_ok, S)
     prob = ba_mod.BAProblem(
         R=kstore.R[window],
         t=kstore.t[window],
@@ -319,16 +323,16 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
         lns=lstore.seg,
         ln_mask=lstore.valid,
         po_pose=po_pose,
-        po_pt=jnp.maximum(po_pt, 0),
+        po_pt=po_pt,
         po_uvr=kstore.obs_uvr[window].reshape(-1, 3),
         po_stereo=kstore.obs_stereo[window].reshape(-1),
         po_sigma2=kstore.obs_sigma2[window].reshape(-1),
         po_mask=po_mask,
         lo_pose=jnp.repeat(jnp.arange(W, dtype=jnp.int32), Sl),
-        lo_ln=jnp.maximum(kstore.obs_ln[window].reshape(-1), 0),
+        lo_ln=kstore.obs_ln[window].reshape(-1),
         lo_l=kstore.obs_l[window].reshape(-1, 3),
         lo_sigma2=kstore.obs_ln_sigma2[window].reshape(-1),
-        lo_mask=(kstore.obs_ln[window].reshape(-1) >= 0) & jnp.repeat(win_valid, Sl),
+        lo_mask=(kstore.obs_ln[window].reshape(-1) >= 0) & jnp.repeat(row_ok, Sl),
     )
     result = ba_mod.solve_ba(cam, prob, cfg.opt, iters=cfg.opt.local_ba_iters)
     kstore = dataclasses.replace(

@@ -1,0 +1,145 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+The reference has no distributed computing at all (SURVEY.md §2.3); its
+LocalBundleAdjustment is a single-threaded g2o solve over a shared-memory
+heap. Here the BA problem is partitioned the TPU-native way:
+
+- LANDMARKS (and their observations) are sharded across the mesh axis —
+  the huge, embarrassingly-parallel side of the problem;
+- POSES are replicated (the pose window is tiny: W <= ~16);
+- each device assembles its shard's contribution to the reduced camera
+  system S = Hpp - Hpl Hll^-1 Hlp, which is `psum`-reduced over ICI;
+- the dense [6W, 6W] solve is computed redundantly on every device
+  (cheaper than a broadcast), and landmark back-substitution is local.
+
+This is the distributed analog of the reference's `Marginalize`
+(src/Optimizer.cc:5125) and scales to pod slices by letting the psum
+ride ICI within a slice and DCN across hosts, per the north star.
+
+The per-shard math is exactly solve/ba.py with `axis_name` set, so the
+single-chip and distributed paths cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pli_slam_tpu.solve import ba as ba_mod
+from pli_slam_tpu.utils.config import OptimizerConfig
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def partition_observations(prob: ba_mod.BAProblem, n_shards: int) -> ba_mod.BAProblem:
+    """Re-index a pose-major problem into `n_shards` landmark shards.
+
+    Landmarks are split into contiguous blocks; each observation row is
+    kept pose-major inside its shard (the solve/ba.py layout invariant
+    holds per shard because a landmark lives in exactly one shard and
+    per-pose slot ids were unique globally). Observation slots whose
+    landmark belongs to another shard are masked out locally — across
+    all shards every observation is counted exactly once.
+    """
+    P_total = prob.pts.shape[0]
+    L_total = prob.lns.shape[0]
+    assert P_total % n_shards == 0 and L_total % n_shards == 0
+    p_blk = P_total // n_shards
+    l_blk = L_total // n_shards
+
+    def shard_obs(idx, blk):
+        # per-shard local index or -1
+        owner = jnp.where(idx >= 0, idx // blk, -1)
+        local = jnp.where(idx >= 0, idx % blk, -1)
+        return owner, local
+
+    own_p, loc_p = shard_obs(prob.po_pt, p_blk)
+    own_l, loc_l = shard_obs(prob.lo_ln, l_blk)
+
+    reps = []
+    for s in range(n_shards):
+        reps.append(
+            dataclasses.replace(
+                prob,
+                pts=prob.pts[s * p_blk : (s + 1) * p_blk],
+                pt_mask=prob.pt_mask[s * p_blk : (s + 1) * p_blk],
+                lns=prob.lns[s * l_blk : (s + 1) * l_blk],
+                ln_mask=prob.ln_mask[s * l_blk : (s + 1) * l_blk],
+                po_pt=jnp.where(own_p == s, loc_p, -1),
+                po_mask=prob.po_mask & (own_p == s),
+                lo_ln=jnp.where(own_l == s, loc_l, -1),
+                lo_mask=prob.lo_mask & (own_l == s),
+            )
+        )
+    # stack shard-locals along the leading (sharded) axis
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *reps)
+
+
+def solve_ba_distributed(
+    cam, prob_stacked: ba_mod.BAProblem, cfg: OptimizerConfig, mesh: Mesh, iters: int | None = None
+) -> ba_mod.BAResult:
+    """Run distributed BA. `prob_stacked` is the output of
+    `partition_observations` — every array has a leading shard axis.
+
+    Returns a BAResult whose landmark arrays keep the shard axis
+    (concatenate on the host to recover the global stores) and whose
+    pose arrays are replicated (identical on all shards).
+    """
+    from jax import shard_map
+
+    spec_sharded = ba_mod.BAProblem(
+        R=P(), t=P(), pose_mask=P(), fixed_mask=P(),
+        pts=P(AXIS), pt_mask=P(AXIS), lns=P(AXIS), ln_mask=P(AXIS),
+        po_pose=P(AXIS), po_pt=P(AXIS), po_uvr=P(AXIS), po_stereo=P(AXIS),
+        po_sigma2=P(AXIS), po_mask=P(AXIS),
+        lo_pose=P(AXIS), lo_ln=P(AXIS), lo_l=P(AXIS), lo_sigma2=P(AXIS), lo_mask=P(AXIS),
+    )
+    out_spec = ba_mod.BAResult(
+        R=P(), t=P(), pts=P(AXIS), lns=P(AXIS), po_chi2=P(AXIS), lo_chi2=P(AXIS), cost=P()
+    )
+
+    # poses are replicated: drop the leading shard axis from pose fields
+    prob_in = dataclasses.replace(
+        prob_stacked,
+        R=prob_stacked.R[0], t=prob_stacked.t[0],
+        pose_mask=prob_stacked.pose_mask[0], fixed_mask=prob_stacked.fixed_mask[0],
+    )
+
+    _POSE_FIELDS = {"R", "t", "pose_mask", "fixed_mask"}
+
+    def body(prob_local: ba_mod.BAProblem) -> ba_mod.BAResult:
+        # shard_map passes each sharded field with a leading axis of size 1
+        kw = {
+            f.name: getattr(prob_local, f.name)
+            if f.name in _POSE_FIELDS
+            else getattr(prob_local, f.name)[0]
+            for f in dataclasses.fields(ba_mod.BAProblem)
+        }
+        res = ba_mod.solve_ba(cam, ba_mod.BAProblem(**kw), cfg, iters=iters, axis_name=AXIS)
+        return ba_mod.BAResult(
+            R=res.R, t=res.t,
+            pts=res.pts[None], lns=res.lns[None],
+            po_chi2=res.po_chi2[None], lo_chi2=res.lo_chi2[None],
+            cost=res.cost,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_sharded,),
+        out_specs=out_spec,
+    )
+    return jax.jit(fn)(prob_in)

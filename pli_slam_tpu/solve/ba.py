@@ -38,7 +38,15 @@ _HI = jax.lax.Precision.HIGHEST
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BAProblem:
-    """Padded BA problem. All index arrays point into the padded stores."""
+    """Padded BA problem. All index arrays point into the padded stores.
+
+    LAYOUT INVARIANT: observations are pose-major — `po_pose` must equal
+    `repeat(arange(W), Op//W)` (same for `lo_pose`), and landmark ids
+    must be unique within each pose's block of rows; empty slots carry
+    id -1. Per-KF observation tables (worldmap.stores.KeyFrameStore)
+    produce exactly this layout by construction. The assembly exploits
+    it to avoid duplicate-handling scatters on TPU.
+    """
 
     # poses (T_cw)
     R: jax.Array  # [W,3,3]
@@ -82,7 +90,7 @@ def _point_obs_linearize(cam, prob: BAProblem, R, t, pts):
     """Residuals + Jacobians for every point observation. Batched over obs."""
     Ro = R[prob.po_pose]  # [Op,3,3]
     to = t[prob.po_pose]  # [Op,3]
-    xw = pts[prob.po_pt]  # [Op,3]
+    xw = pts[jnp.maximum(prob.po_pt, 0)]  # [Op,3]
     xc = jnp.einsum("nij,nj->ni", Ro, xw, precision=_HI) + to
     uvr = cam_ops.stereo_project(cam, xc)
     r = prob.po_uvr - uvr  # [Op,3]
@@ -100,14 +108,17 @@ def _point_obs_linearize(cam, prob: BAProblem, R, t, pts):
     )  # [Op,3,6]
     Jp = -jnp.einsum("nij,njk->nik", Jproj, dxc, precision=_HI)  # d r / d pose twist
     Jl = -jnp.einsum("nij,njk->nik", Jproj, Ro, precision=_HI)  # d r / d x_w
-    ok = prob.po_mask & (z > 0.05) & prob.pt_mask[prob.po_pt] & prob.pose_mask[prob.po_pose]
+    ok = (
+        prob.po_mask & (prob.po_pt >= 0) & (z > 0.05)
+        & prob.pt_mask[jnp.maximum(prob.po_pt, 0)] & prob.pose_mask[prob.po_pose]
+    )
     return r, Jp, Jl, ok
 
 
 def _line_obs_linearize(cam, prob: BAProblem, R, t, lns):
     Ro = R[prob.lo_pose]
     to = t[prob.lo_pose]
-    seg = lns[prob.lo_ln]  # [Ol,6]
+    seg = lns[jnp.maximum(prob.lo_ln, 0)]  # [Ol,6]
     l_obs = prob.lo_l
 
     def endpoint(xw):
@@ -131,7 +142,10 @@ def _line_obs_linearize(cam, prob: BAProblem, R, t, lns):
     Jl = -jnp.stack(
         [jnp.concatenate([Jx0, zeros], -1), jnp.concatenate([zeros, Jx1], -1)], axis=-2
     )  # [Ol,2,6]
-    ok = prob.lo_mask & (z0 > 0.05) & (z1 > 0.05) & prob.ln_mask[prob.lo_ln] & prob.pose_mask[prob.lo_pose]
+    ok = (
+        prob.lo_mask & (prob.lo_ln >= 0) & (z0 > 0.05) & (z1 > 0.05)
+        & prob.ln_mask[jnp.maximum(prob.lo_ln, 0)] & prob.pose_mask[prob.lo_pose]
+    )
     return r, Jp, Jl, ok
 
 
@@ -141,7 +155,7 @@ def _robust_weight(r, sigma2, ok, delta):
     return jnp.where(ok, w, 0.0), chi2
 
 
-def ba_iteration(cam, prob: BAProblem, R, t, pts, lns, cfg: OptimizerConfig, damping):
+def ba_iteration(cam, prob: BAProblem, R, t, pts, lns, cfg: OptimizerConfig, damping, axis_name: str | None = None):
     W = prob.R.shape[0]
     P = prob.pts.shape[0]
     L = prob.lns.shape[0]
@@ -152,31 +166,67 @@ def ba_iteration(cam, prob: BAProblem, R, t, pts, lns, cfg: OptimizerConfig, dam
     w_l, chi2_l = _robust_weight(r_l, prob.lo_sigma2, ok_l, cfg.huber_mono)
 
     # --- assemble -------------------------------------------------------
-    Hpp = jnp.zeros((W, 6, 6))
-    gp = jnp.zeros((W, 6))
-    Hpp = Hpp.at[prob.po_pose].add(jnp.einsum("nia,n,nib->nab", Jp_p, w_p, Jp_p, precision=_HI))
-    gp = gp.at[prob.po_pose].add(jnp.einsum("nia,n,ni->na", Jp_p, w_p, r_p, precision=_HI))
-    Hpp = Hpp.at[prob.lo_pose].add(jnp.einsum("nia,n,nib->nab", Jp_l, w_l, Jp_l, precision=_HI))
-    gp = gp.at[prob.lo_pose].add(jnp.einsum("nia,n,ni->na", Jp_l, w_l, r_l, precision=_HI))
+    # Layout invariant (see BAProblem docstring): observations are
+    # pose-major — obs row k = [k*Sx, (k+1)*Sx) belongs to pose k, and
+    # landmark ids are unique within each row (slot -1 = empty). This
+    # turns the pose-side accumulation into a reshape-sum (no scatter)
+    # and the landmark-side accumulation into W unique-index scatters —
+    # general duplicate-handling scatter-adds are ~10x slower on TPU and
+    # dominated this function before.
+    Sx = prob.po_pt.shape[0] // W
+    Sl = prob.lo_ln.shape[0] // W
 
-    Hll_p = jnp.zeros((P, 3, 3)).at[prob.po_pt].add(
-        jnp.einsum("nia,n,nib->nab", Jl_p, w_p, Jl_p, precision=_HI)
+    blk_pp = jnp.einsum("nia,n,nib->nab", Jp_p, w_p, Jp_p, precision=_HI).reshape(W, Sx, 6, 6)
+    blk_gp = jnp.einsum("nia,n,ni->na", Jp_p, w_p, r_p, precision=_HI).reshape(W, Sx, 6)
+    blk_pp_l = jnp.einsum("nia,n,nib->nab", Jp_l, w_l, Jp_l, precision=_HI).reshape(W, Sl, 6, 6)
+    blk_gp_l = jnp.einsum("nia,n,ni->na", Jp_l, w_l, r_l, precision=_HI).reshape(W, Sl, 6)
+    Hpp = blk_pp.sum(1) + blk_pp_l.sum(1)
+    gp = blk_gp.sum(1) + blk_gp_l.sum(1)
+
+    def rowwise_scatter(capacity, idx_2d, blocks_2d):
+        """Accumulate [W, Sx, ...] blocks into [capacity, ...] rows.
+
+        Masked slots (idx < 0) are redirected to unique sacrificial rows
+        beyond `capacity`, keeping every per-row scatter collision-free.
+        """
+        n_rows, n_slots = idx_2d.shape
+        acc = jnp.zeros((capacity + n_slots,) + blocks_2d.shape[2:], blocks_2d.dtype)
+        spill = capacity + jnp.arange(n_slots, dtype=jnp.int32)
+        for k in range(n_rows):
+            safe = jnp.where(idx_2d[k] >= 0, idx_2d[k], spill)
+            acc = acc.at[safe].add(blocks_2d[k], unique_indices=True)
+        return acc[:capacity]
+
+    def rowwise_scatter_per_pose(capacity, idx_2d, blocks_2d):
+        """Like rowwise_scatter but into [capacity, W, ...] (the Hpl blocks)."""
+        n_rows, n_slots = idx_2d.shape
+        acc = jnp.zeros((capacity + n_slots, n_rows) + blocks_2d.shape[2:], blocks_2d.dtype)
+        spill = capacity + jnp.arange(n_slots, dtype=jnp.int32)
+        for k in range(n_rows):
+            safe = jnp.where(idx_2d[k] >= 0, idx_2d[k], spill)
+            acc = acc.at[safe, k].add(blocks_2d[k], unique_indices=True)
+        return acc[:capacity]
+
+    po_pt_2d = prob.po_pt.reshape(W, Sx)
+    lo_ln_2d = prob.lo_ln.reshape(W, Sl)
+    Hll_p = rowwise_scatter(
+        P, po_pt_2d, jnp.einsum("nia,n,nib->nab", Jl_p, w_p, Jl_p, precision=_HI).reshape(W, Sx, 3, 3)
     )
-    gl_p = jnp.zeros((P, 3)).at[prob.po_pt].add(
-        jnp.einsum("nia,n,ni->na", Jl_p, w_p, r_p, precision=_HI)
+    gl_p = rowwise_scatter(
+        P, po_pt_2d, jnp.einsum("nia,n,ni->na", Jl_p, w_p, r_p, precision=_HI).reshape(W, Sx, 3)
     )
-    Wb_p = jnp.zeros((P, W, 6, 3)).at[prob.po_pt, prob.po_pose].add(
-        jnp.einsum("nia,n,nib->nab", Jp_p, w_p, Jl_p, precision=_HI)
+    Wb_p = rowwise_scatter_per_pose(
+        P, po_pt_2d, jnp.einsum("nia,n,nib->nab", Jp_p, w_p, Jl_p, precision=_HI).reshape(W, Sx, 6, 3)
     )
 
-    Hll_l = jnp.zeros((L, 6, 6)).at[prob.lo_ln].add(
-        jnp.einsum("nia,n,nib->nab", Jl_l, w_l, Jl_l, precision=_HI)
+    Hll_l = rowwise_scatter(
+        L, lo_ln_2d, jnp.einsum("nia,n,nib->nab", Jl_l, w_l, Jl_l, precision=_HI).reshape(W, Sl, 6, 6)
     )
-    gl_l = jnp.zeros((L, 6)).at[prob.lo_ln].add(
-        jnp.einsum("nia,n,ni->na", Jl_l, w_l, r_l, precision=_HI)
+    gl_l = rowwise_scatter(
+        L, lo_ln_2d, jnp.einsum("nia,n,ni->na", Jl_l, w_l, r_l, precision=_HI).reshape(W, Sl, 6)
     )
-    Wb_l = jnp.zeros((L, W, 6, 6)).at[prob.lo_ln, prob.lo_pose].add(
-        jnp.einsum("nia,n,nib->nab", Jp_l, w_l, Jl_l, precision=_HI)
+    Wb_l = rowwise_scatter_per_pose(
+        L, lo_ln_2d, jnp.einsum("nia,n,nib->nab", Jp_l, w_l, Jl_l, precision=_HI).reshape(W, Sl, 6, 6)
     )
 
     # --- Schur elimination of landmarks --------------------------------
@@ -207,6 +257,13 @@ def ba_iteration(cam, prob: BAProblem, R, t, pts, lns, cfg: OptimizerConfig, dam
     rhs = rhs + jnp.einsum("iwab,ibc,ic->wa", Wb_p, Hll_p_inv, gl_p, precision=_HI)
     rhs = rhs + jnp.einsum("iwab,ibc,ic->wa", Wb_l, Hll_l_inv, gl_l, precision=_HI)
 
+    if axis_name is not None:
+        # Distributed Schur: each device assembled its landmark shard's
+        # contribution; the reduced camera system is the psum over shards
+        # (SURVEY.md §2.3 — collectives over ICI replace the g2o heap).
+        S = jax.lax.psum(S, axis_name)
+        rhs = jax.lax.psum(rhs, axis_name)
+
     # --- gauge fixing: zero rows/cols of fixed or absent poses ----------
     free = (prob.pose_mask & ~prob.fixed_mask).astype(S.dtype)
     S = S * free[:, None, None, None] * free[None, :, None, None]
@@ -234,19 +291,25 @@ def ba_iteration(cam, prob: BAProblem, R, t, pts, lns, cfg: OptimizerConfig, dam
     lns_new = lns + jnp.where(active_l[:, None], delta_ln, 0.0)
 
     cost = jnp.sum(w_p * chi2_p * prob.po_sigma2) + jnp.sum(w_l * chi2_l * prob.lo_sigma2)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     return R_new, t_new, pts_new, lns_new, cost, chi2_p, chi2_l
 
 
-def solve_ba(cam, prob: BAProblem, cfg: OptimizerConfig, iters: int | None = None) -> BAResult:
-    """Run `iters` damped GN iterations (reference budget: optimize(5)+optimize(10))."""
+def solve_ba(cam, prob: BAProblem, cfg: OptimizerConfig, iters: int | None = None, axis_name: str | None = None) -> BAResult:
+    """Run `iters` damped GN iterations (reference budget: optimize(5)+optimize(10)).
+
+    With `axis_name`, runs as the per-shard body of a `shard_map` over a
+    landmark-sharded problem (poses replicated) — see parallel/dist_ba.py.
+    """
     iters = cfg.local_ba_iters if iters is None else iters
     damping = jnp.asarray(cfg.damping_init, jnp.float32)
 
     def body(_, carry):
         R, t, pts, lns = carry
-        R, t, pts, lns, _, _, _ = ba_iteration(cam, prob, R, t, pts, lns, cfg, damping)
+        R, t, pts, lns, _, _, _ = ba_iteration(cam, prob, R, t, pts, lns, cfg, damping, axis_name)
         return R, t, pts, lns
 
     R, t, pts, lns = jax.lax.fori_loop(0, iters, body, (prob.R, prob.t, prob.pts, prob.lns))
-    _, _, _, _, cost, chi2_p, chi2_l = ba_iteration(cam, prob, R, t, pts, lns, cfg, damping)
+    _, _, _, _, cost, chi2_p, chi2_l = ba_iteration(cam, prob, R, t, pts, lns, cfg, damping, axis_name)
     return BAResult(R=R, t=t, pts=pts, lns=lns, po_chi2=chi2_p, lo_chi2=chi2_l, cost=cost)
