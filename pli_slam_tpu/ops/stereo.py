@@ -21,13 +21,17 @@ SAD_SHIFT = 5  # search +-5 columns around the descriptor match (reference L=5)
 
 
 def _gather_patch_rows(img: jax.Array, cx: jax.Array, cy: jax.Array, half_h: int, half_w: int) -> jax.Array:
-    """Gather [N, 2*half_h+1, 2*half_w+1] patches centered at (cx, cy) int32."""
+    """Gather [N, 2*half_h+1, 2*half_w+1] patches centered at (cx, cy) int32.
+
+    vmapped dynamic_slice lowers to a gather with contiguous
+    (rows x cols) slice sizes — one fetch per patch instead of one per
+    pixel, which is the difference between ~ms and ~100ms on TPU.
+    """
     h, w = img.shape
-    dy = jnp.arange(-half_h, half_h + 1)
-    dx = jnp.arange(-half_w, half_w + 1)
-    ys = jnp.clip(cy[:, None, None] + dy[None, :, None], 0, h - 1)
-    xs = jnp.clip(cx[:, None, None] + dx[None, None, :], 0, w - 1)
-    return img[ys, xs]
+    ph, pw = 2 * half_h + 1, 2 * half_w + 1
+    y0 = jnp.clip(cy - half_h, 0, h - ph)
+    x0 = jnp.clip(cx - half_w, 0, w - pw)
+    return jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(img, (yy, xx), (ph, pw)))(y0, x0)
 
 
 def match_stereo(
