@@ -1,0 +1,117 @@
+"""Place recognition: LSH bag-of-words scoring, fully on-device.
+
+TPU-native replacement for the DBoW2 vocabulary + KeyFrameDatabase
+stack (reference: Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h —
+k-means tree `transform`; src/KeyFrameDatabase.cc —
+`DetectNBestCandidates` :806, `DetectRelocalizationCandidates*`,
+dual point/line inverted files `KeyFrameDatabase.h:109-113`).
+
+Design inversion: DBoW2 walks a learned 6-level k-means tree per
+descriptor and scores through inverted files — pointer-chasing that is
+hostile to XLA. Here a descriptor's "word" is its sign pattern under
+`n_bits` fixed random hyperplanes (LSH): one [N, 256] x [256, n_bits]
+int8 matmul + bit packing. A keyframe's BoW vector is the normalized
+word histogram; database queries are ONE [K, W] x [W] matvec over the
+histogram matrix — the dense equivalent of inverted-file scoring, and
+faster than maintaining the files at these scales (K <= 512, W = 4096).
+
+Both modalities get vocabularies (points + lines) like the reference's
+dual ORBvoc/LSDvoc, and scores can be combined (the reference's dormant
+joint gating, KeyFrameDatabase.cc:1091 — active here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _hyperplanes(seed: int, n_bits: int, dim: int = 256) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(dim, n_bits)).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class Vocabulary:
+    """Fixed LSH vocabulary: n_bits hyperplanes -> 2**n_bits words."""
+
+    n_bits: int = 12  # 4096 words
+    seed: int = 17
+
+    @property
+    def n_words(self) -> int:
+        return 1 << self.n_bits
+
+    def planes(self) -> jax.Array:
+        return jnp.asarray(_hyperplanes(self.seed, self.n_bits))
+
+    def words(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+        """±1 int8 descriptors [N, 256] -> word ids [N] int32 (-1 invalid)."""
+        proj = jnp.einsum(
+            "nd,dw->nw", desc.astype(jnp.float32), self.planes(), precision=_HI
+        )
+        bits = (proj >= 0).astype(jnp.int32)
+        weights = (1 << jnp.arange(self.n_bits, dtype=jnp.int32))[None, :]
+        ids = jnp.sum(bits * weights, axis=-1)
+        return jnp.where(valid, ids, -1)
+
+    def bow(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+        """Normalized word histogram [n_words] float32 (the BowVector)."""
+        ids = self.words(desc, valid)
+        hist = jnp.zeros(self.n_words).at[jnp.maximum(ids, 0)].add(
+            valid.astype(jnp.float32)
+        )
+        return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BowDatabase:
+    """Dense BoW matrix per keyframe — the inverted-file equivalent."""
+
+    hist_pt: jax.Array  # [K, W] point-word histograms (L2-normalized)
+    hist_ln: jax.Array  # [K, W] line-word histograms
+    valid: jax.Array  # [K] bool
+
+    @staticmethod
+    def empty(capacity: int, n_words: int) -> "BowDatabase":
+        return BowDatabase(
+            hist_pt=jnp.zeros((capacity, n_words)),
+            hist_ln=jnp.zeros((capacity, n_words)),
+            valid=jnp.zeros(capacity, bool),
+        )
+
+    def add(self, slot, bow_pt: jax.Array, bow_ln: jax.Array) -> "BowDatabase":
+        return BowDatabase(
+            hist_pt=self.hist_pt.at[slot].set(bow_pt),
+            hist_ln=self.hist_ln.at[slot].set(bow_ln),
+            valid=self.valid.at[slot].set(True),
+        )
+
+
+def query(
+    db: BowDatabase,
+    bow_pt: jax.Array,
+    bow_ln: jax.Array,
+    exclude_mask: jax.Array,
+    n_best: int = 3,
+    line_weight: float = 0.3,
+):
+    """Top-n_best candidate keyframes by combined point+line similarity.
+
+    (reference: DetectNBestCandidates semantics with the joint
+    point+line gating of DetectLoopCandidatesWithLine applied live.)
+    Returns (slots [n_best] int32, scores [n_best]).
+    """
+    score = (
+        jnp.einsum("kw,w->k", db.hist_pt, bow_pt, precision=_HI)
+        + line_weight * jnp.einsum("kw,w->k", db.hist_ln, bow_ln, precision=_HI)
+    )
+    score = jnp.where(db.valid & ~exclude_mask, score, -1.0)
+    top_scores, top_idx = jax.lax.top_k(score, n_best)
+    return top_idx.astype(jnp.int32), top_scores
