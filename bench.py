@@ -31,6 +31,10 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     from pli_slam_tpu.frontend.tracker import Tracker
     from pli_slam_tpu.ops.camera import Camera
@@ -43,19 +47,24 @@ def main():
     )
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
+    log(f"bench: rendering {n_frames} frames")
     frames = []
     for fr in synthetic.make_sequence(cam, n_frames, fps=cfg.fps):
         frames.append((fr["img_l"], fr["img_r"], fr["t"], fr["p_w"]))
     jax.block_until_ready(frames[-1][0])
+    log("bench: rendering done; warmup/compile")
 
     tracker = Tracker(cam, cfg)
     # warmup: compile every program variant (frame, track, insert, BA)
-    for img_l, img_r, t, _ in frames[:3]:
+    for i, (img_l, img_r, t, _) in enumerate(frames[:3]):
         tracker.process(img_l, img_r, t)
+        log(f"bench: warmup frame {i} done")
 
     t0 = time.time()
-    for img_l, img_r, t, _ in frames[3:]:
+    for i, (img_l, img_r, t, _) in enumerate(frames[3:]):
         tracker.process(img_l, img_r, t)
+        if i % 10 == 0:
+            log(f"bench: frame {i}")
     elapsed = time.time() - t0
     fps = (n_frames - 3) / elapsed
 

@@ -1,0 +1,226 @@
+"""Loop closing: BoW detection -> geometric verification -> graph correction.
+
+TPU-native replacement for the reference's LoopClosing worker
+(reference: src/LoopClosing.cc — `NewDetectCommonRegions` :246,
+`DetectCommonRegionsFromBoW` :476, `CorrectLoop` :857, essential-graph
+optimization dispatch :1062-1067). The free-running thread becomes a
+per-keyframe host call into three jitted programs:
+
+1. detect: dense BoW query (worldmap/vocab.py) with a temporal-
+   consistency counter on the host (>= `consistency_kfs` consecutive
+   hits near the same past keyframe, reference LoopClosing.cc:306);
+2. verify: landmark-to-landmark descriptor matching between the two
+   keyframes' observation tables + batched-hypothesis Sim3/SE3 RANSAC
+   (solve/sim3.py) replacing Sim3Solver::iterate;
+3. correct: essential-graph optimization over the keyframe chain with
+   the verified loop edge (solve/pgo.py), then landmark re-anchoring —
+   every landmark is transformed by its reference keyframe's pose
+   correction, INCLUDING line endpoints (the reference forgets lines in
+   CorrectLoop — SURVEY.md flags it at LoopClosing.cc:912-991).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pli_slam_tpu.ops import lie, matching
+from pli_slam_tpu.solve import pgo, sim3
+from pli_slam_tpu.utils.config import SlamConfig
+from pli_slam_tpu.worldmap import stores as st
+from pli_slam_tpu.worldmap import vocab
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def match_kf_landmarks(
+    kstore: st.KeyFrameStore, pstore: st.PointStore, desc_table: jax.Array, kf_a, kf_b, max_dist=60.0
+):
+    """3D-3D correspondences between two keyframes' observed landmarks.
+
+    desc_table: [K, S, 256] int8 per-KF feature descriptors.
+    Returns (x [S,3] world pts of a's landmarks, y [S,3] of b's matches,
+    mask [S]).
+    """
+    da = desc_table[kf_a]
+    db = desc_table[kf_b]
+    ia = kstore.obs_pt[kf_a]
+    ib = kstore.obs_pt[kf_b]
+    va = ia >= 0
+    vb = ib >= 0
+    dist = matching.hamming_matrix(da, db)
+    idx, best, ok = matching.match_nn(dist, va, vb, max_dist=max_dist, ratio=0.9)
+    ok = matching.mutual_consistency(idx, ok, dist, va, vb)
+    xa = pstore.x[jnp.maximum(ia, 0)]
+    xb = pstore.x[jnp.maximum(ib[idx], 0)]
+    ok = ok & pstore.valid[jnp.maximum(ia, 0)] & pstore.valid[jnp.maximum(ib[idx], 0)]
+    return xa, xb, ok
+
+
+def apply_loop_correction(
+    kstore: st.KeyFrameStore,
+    pstore: st.PointStore,
+    lstore: st.LineStore,
+    n_kf: int,
+    kf_cur: int,
+    kf_loop: int,
+    R_rel, t_rel,  # verified relative transform: maps current-region world
+    cfg: SlamConfig,
+):
+    """Essential-graph correction + landmark re-anchoring.
+
+    The loop edge constrains T_cur relative to T_loop with the verified
+    measurement. Landmarks move with their last-observing keyframe.
+    """
+    K = kstore.R.shape[0]
+    valid = kstore.valid
+    # chain edges from current estimates
+    ci, cj, cR, ct, cs, cmask = pgo.chain_edges(kstore.R, kstore.t, jnp.ones(K), valid)
+    # loop edge: measured relative pose loop->cur. The verified Sim3 maps
+    # world points of the current region onto the loop region: x_loop = S x_cur.
+    # Constraint on poses: T_cur_corrected = T_cur ∘ S^-1 (points move by S),
+    # so measured S_cur_loop = T_cur S^-1 (T_loop)^-1.
+    R_s_inv, t_s_inv = lie.se3_inverse(R_rel, t_rel)
+    Rc, tc = lie.se3_compose(kstore.R[kf_cur], kstore.t[kf_cur], R_s_inv, t_s_inv)
+    Rl_inv, tl_inv = lie.se3_inverse(kstore.R[kf_loop], kstore.t[kf_loop])
+    Rm, tm = lie.se3_compose(Rc, tc, Rl_inv, tl_inv)
+
+    e_i = jnp.concatenate([ci, jnp.asarray([kf_loop], jnp.int32)])
+    e_j = jnp.concatenate([cj, jnp.asarray([kf_cur], jnp.int32)])
+    e_R = jnp.concatenate([cR, Rm[None]])
+    e_t = jnp.concatenate([ct, tm[None]])
+    e_s = jnp.concatenate([cs, jnp.ones(1)])
+    e_w = jnp.concatenate([jnp.ones(K - 1), jnp.asarray([5.0])])
+    e_mask = jnp.concatenate([cmask, jnp.ones(1, bool)])
+
+    graph = pgo.PoseGraph(
+        R=kstore.R, t=kstore.t, s=jnp.ones(K),
+        node_mask=valid,
+        fixed_mask=jnp.zeros(K, bool).at[kf_loop].set(True) | ~valid,
+        e_i=e_i, e_j=e_j, e_R=e_R, e_t=e_t, e_s=e_s, e_weight=e_w, e_mask=e_mask,
+    )
+    out = pgo.optimize(graph, iters=cfg.opt.pgo_iters, se3=True)
+
+    # landmark re-anchoring: X' = T_wc_new(k) T_cw_old(k) X, k = last_kf
+    R_old, t_old = kstore.R, kstore.t
+    R_new, t_new = out.R, out.t
+    Rw_new = jnp.swapaxes(R_new, -1, -2)
+    tw_new = -jnp.einsum("kij,kj->ki", Rw_new, t_new, precision=_HI)
+
+    def correct_points(x, ref_kf, valid_lm):
+        Ro = R_old[ref_kf]
+        to = t_old[ref_kf]
+        x_c = jnp.einsum("kij,kj->ki", Ro, x, precision=_HI) + to
+        x_n = jnp.einsum("kij,kj->ki", Rw_new[ref_kf], x_c, precision=_HI) + tw_new[ref_kf]
+        return jnp.where(valid_lm[:, None], x_n, x)
+
+    ref_pt = jnp.clip(pstore.last_kf, 0, K - 1)
+    pstore = dataclasses.replace(
+        pstore, x=correct_points(pstore.x, ref_pt, pstore.valid)
+    )
+    ref_ln = jnp.clip(lstore.last_kf, 0, K - 1)
+    lstore = dataclasses.replace(
+        lstore,
+        seg=jnp.concatenate(
+            [
+                correct_points(lstore.seg[:, :3], ref_ln, lstore.valid),
+                correct_points(lstore.seg[:, 3:], ref_ln, lstore.valid),
+            ],
+            axis=-1,
+        ),
+    )
+    kstore = dataclasses.replace(kstore, R=R_new, t=t_new)
+    return kstore, pstore, lstore
+
+
+class LoopCloser:
+    """Host-side loop closing state machine attached to the tracker."""
+
+    def __init__(self, cfg: SlamConfig, kf_capacity: int):
+        self.cfg = cfg
+        self.voc_pt = vocab.Vocabulary(seed=17)
+        self.voc_ln = vocab.Vocabulary(seed=23)
+        self.db = vocab.BowDatabase.empty(kf_capacity, self.voc_pt.n_words)
+        self.desc_table = jnp.zeros((kf_capacity, 0, 256), jnp.int8)  # lazily sized
+        self._consistent_with = -1
+        self._consistency = 0
+        self.n_loops_closed = 0
+        self._last_closed_kf = -10 ** 9
+        self._bow = jax.jit(
+            lambda d, v, dl, vl: (self.voc_pt.bow(d, v), self.voc_ln.bow(dl, vl))
+        )
+        self._query = jax.jit(vocab.query, static_argnames=("n_best",))
+        self._match = None  # jitted lazily (needs store shapes)
+        self._ransac = jax.jit(
+            lambda x, y, m, key: sim3.ransac_sim3(
+                x, y, m, key, n_hypotheses=cfg.loop.sim3_hypotheses,
+                inlier_thresh=0.25, with_scale=False,
+            )
+        )
+        self._correct = None
+
+    def add_keyframe(self, kf_slot: int, frame, kstore):
+        """Index the new keyframe's BoW vectors and descriptors."""
+        if self.desc_table.shape[1] == 0:
+            s = frame.feats.desc.shape[0]
+            self.desc_table = jnp.zeros((self.db.valid.shape[0], s, 256), jnp.int8)
+        self.desc_table = self.desc_table.at[kf_slot].set(frame.feats.desc)
+        bow_pt, bow_ln = self._bow(
+            frame.feats.desc, frame.feats.valid & (kstore.obs_pt[kf_slot] >= 0),
+            frame.lines.desc, frame.lines.valid,
+        )
+        self.db = self.db.add(kf_slot, bow_pt, bow_ln)
+        return bow_pt, bow_ln
+
+    def detect_and_close(self, kf_slot: int, frame, tracker) -> bool:
+        """Full loop pipeline for the newly inserted keyframe. Returns True
+        if a loop was closed (tracker stores updated in place)."""
+        cfg = self.cfg
+        bow_pt, bow_ln = self.add_keyframe(kf_slot, frame, tracker.kstore)
+        if kf_slot < cfg.loop.min_kf_gap or kf_slot - self._last_closed_kf < cfg.loop.min_kf_gap:
+            return False
+        # exclude temporally-near keyframes (the reference excludes the
+        # covisible group; temporal adjacency is our covisibility proxy)
+        excl = np.zeros(self.db.valid.shape[0], bool)
+        excl[max(0, kf_slot - cfg.loop.min_kf_gap) :] = True
+        slots, scores = self._query(self.db, bow_pt, bow_ln, jnp.asarray(excl), n_best=cfg.loop.bow_candidates)
+        best = int(slots[0])
+        best_score = float(scores[0])
+        if best < 0 or best_score < 0.15:
+            self._consistency = 0
+            self._consistent_with = -1
+            return False
+        # temporal consistency: the hit must persist across consecutive KFs
+        if self._consistent_with >= 0 and abs(best - self._consistent_with) <= 3:
+            self._consistency += 1
+        else:
+            self._consistency = 1
+        self._consistent_with = best
+        if self._consistency < cfg.loop.consistency_kfs:
+            return False
+
+        # geometric verification
+        x, y, m = match_kf_landmarks(
+            tracker.kstore, tracker.pstore, self.desc_table, kf_slot, best
+        )
+        key = jax.random.PRNGKey(kf_slot)
+        R_rel, t_rel, s_rel, inl, n_in = self._ransac(x, y, m, key)
+        if int(n_in) < cfg.loop.sim3_min_inliers:
+            return False
+
+        tracker.kstore, tracker.pstore, tracker.lstore = apply_loop_correction(
+            tracker.kstore, tracker.pstore, tracker.lstore,
+            tracker.n_kf, kf_slot, best, R_rel, t_rel, cfg,
+        )
+        # tracking continues from the corrected keyframe pose
+        tracker.R = tracker.kstore.R[kf_slot]
+        tracker.t = tracker.kstore.t[kf_slot]
+        tracker.vel_xi = None
+        self.n_loops_closed += 1
+        self._last_closed_kf = kf_slot
+        self._consistency = 0
+        self._consistent_with = -1
+        return True

@@ -381,6 +381,11 @@ class Tracker:
             m.max_keyframes, cfg.orb.n_features, cfg.lines.n_lines
         )
         self.state = TrackingState.NOT_INITIALIZED
+        self.loop_closer = None
+        if cfg.loop.enabled:
+            from pli_slam_tpu.frontend.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg, cfg.map.max_keyframes)
         self.n_kf = 0
         self.R = jnp.eye(3)
         self.t = jnp.zeros(3)
@@ -510,6 +515,8 @@ class Tracker:
             k = self.n_kf - 1
             self.R = self.kstore.R[k]
             self.t = self.kstore.t[k]
+        if self.loop_closer is not None:
+            self.loop_closer.detect_and_close(self.n_kf - 1, frame, self)
         return int(n_new)
 
     def _record(self, stamp: float):

@@ -49,13 +49,19 @@ def vee(W: jax.Array) -> jax.Array:
 
 
 def _sinc_coeffs(theta2: jax.Array):
-    """Stable (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3) given t^2."""
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    """Stable (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3) given t^2.
+
+    AD-safe at theta=0: the singular branch's operands are clamped with a
+    second `where` ("double-where") so reverse/forward-mode AD never sees
+    0 * inf from the unselected branch.
+    """
     small = theta2 < _EPS
+    t2_safe = jnp.where(small, 1.0, theta2)  # keeps the generic branch finite
+    theta = jnp.sqrt(t2_safe)
     # Taylor: sin t / t ~ 1 - t^2/6 ; (1-cos)/t^2 ~ 1/2 - t^2/24 ; (t-sin)/t^3 ~ 1/6 - t^2/120
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (t2_safe * theta))
     return a, b, c
 
 
@@ -75,11 +81,20 @@ def so3_log(R: jax.Array) -> jax.Array:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # Generic branch: vee of antisymmetric part, scaled.
     w_asym = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(theta < _EPS, 1.0 + theta * theta / 6.0, theta / jnp.maximum(sin_t, 1e-12))
+    # theta via atan2(sin, cos): smooth at identity (arccos'(1) = -inf
+    # would poison autodiff through pose-graph residuals at zero error)
+    sin_norm2 = jnp.sum(w_asym * w_asym, axis=-1)
+    small_s = sin_norm2 < 1e-12
+    sin_t = jnp.sqrt(jnp.where(small_s, 1.0, sin_norm2))
+    sin_t = jnp.where(small_s, 0.0, sin_t)
+    theta = jnp.arctan2(sin_t, cos_t)
+    scale = jnp.where(
+        theta < 1e-3,
+        1.0 + theta * theta / 6.0,
+        theta / jnp.where(theta < 1e-3, 1.0, jnp.maximum(sin_t, 1e-12)),
+    )
     w_generic = w_asym * scale[..., None]
     # Near-pi branch. The symmetric part S = (R+R^T)/2 kills the sin(theta)*K
     # term exactly, leaving (1+cos)I + (1-cos) a a^T; the row at the largest
@@ -125,13 +140,14 @@ def so3_right_jacobian(w: jax.Array) -> jax.Array:
 def so3_right_jacobian_inv(w: jax.Array) -> jax.Array:
     """Inverse right Jacobian of SO(3) (reference: InverseRightJacobianSO3)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
     small = theta2 < _EPS
+    t2_safe = jnp.where(small, 1.0, theta2)  # AD-safe double-where
+    theta = jnp.sqrt(t2_safe)
     # coefficient of W^2:  1/t^2 - (1+cos t)/(2 t sin t); Taylor: 1/12 + t^2/720
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        1.0 / theta2 - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.maximum(jnp.sin(theta), 1e-12)),
+        1.0 / t2_safe - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.maximum(jnp.sin(theta), 1e-12)),
     )
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -238,10 +254,16 @@ def sim3_exp(xi: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
 
     def _generic():
+        # AD-safe: denominators forced to 1 where the Taylor branch wins,
+        # so the unselected branch never produces inf/1e24-scale values
+        # that leak through `where` gradients.
         A = s * sin_t
         B = s * cos_t
-        b_ = (A * sigma + (1.0 - B) * theta) / jnp.maximum(theta * sig2t2, 1e-24)
-        c_ = (a_coef - ((B - 1.0) * sigma + A * theta) / jnp.maximum(sig2t2, 1e-24)) / jnp.maximum(theta2, 1e-24)
+        den1 = jnp.where(small_th, 1.0, theta * sig2t2)
+        den2 = jnp.where(small_th, 1.0, sig2t2)
+        den3 = jnp.where(small_th, 1.0, theta2)
+        b_ = (A * sigma + (1.0 - B) * theta) / den1
+        c_ = (a_coef - ((B - 1.0) * sigma + A * theta) / den2) / den3
         return b_, c_
 
     b_gen, c_gen = _generic()

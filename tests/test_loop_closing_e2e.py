@@ -1,0 +1,106 @@
+"""Loop-closing correction test with a manufactured drifted map."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pli_slam_tpu.frontend import loop_closing
+from pli_slam_tpu.ops import lie
+from pli_slam_tpu.utils.config import SlamConfig
+from pli_slam_tpu.worldmap import stores as st
+
+
+def test_apply_loop_correction_removes_drift(rng):
+    """K keyframes along a line; the last half drifted by a known offset.
+
+    After the loop edge (measured true relative pose) + correction, poses
+    and landmarks re-anchor near truth.
+    """
+    cfg = SlamConfig.tiny_test()
+    K = 12
+    S, Sl = 8, 4
+    kstore = st.KeyFrameStore.empty(cfg.map.max_keyframes, S, Sl)
+    pstore = st.PointStore.empty(256)
+    lstore = st.LineStore.empty(64)
+
+    # ground truth: camera walks +x and returns to start
+    t_gt = []
+    for k in range(K):
+        p = np.array([0.5 * min(k, K - 1 - k), 0.0, 0.0], np.float32)  # out and back
+        t_gt.append(-p)  # T_cw with R=I: t = -p
+    drift = np.array([0.4, 0.25, -0.3], np.float32)
+
+    # consistent drift: the whole local frame (camera centers AND the
+    # landmarks they triangulate) shifts by -frac*drift; for T_cw that
+    # means t_est = t_gt + frac*drift
+    R_est = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+    t_est = np.stack(t_gt)
+    for k in range(K // 2, K):
+        frac = (k - K // 2 + 1) / (K - K // 2)
+        t_est[k] = t_gt[k] + frac * drift
+
+    kstore = dataclasses.replace(
+        kstore,
+        R=kstore.R.at[:K].set(jnp.asarray(R_est)),
+        t=kstore.t.at[:K].set(jnp.asarray(t_est)),
+        valid=kstore.valid.at[:K].set(True),
+    )
+    # landmarks anchored at the last KF (drifted) and at KF 0 (clean)
+    n_lm = 32
+    x_true = np.stack(
+        [rng.uniform(-2, 2, n_lm), rng.uniform(-2, 2, n_lm), rng.uniform(3, 6, n_lm)], -1
+    ).astype(np.float32)
+    x_drifted = x_true - drift  # same drift as their ref KF (K-1)
+    pstore = dataclasses.replace(
+        pstore,
+        x=pstore.x.at[:n_lm].set(jnp.asarray(x_drifted)),
+        valid=pstore.valid.at[:n_lm].set(True),
+        last_kf=pstore.last_kf.at[:n_lm].set(K - 1),
+    )
+
+    # verified relative transform: current-region world -> loop-region world
+    # x_loop = x_cur + drift  => R=I, t=drift
+    kstore2, pstore2, lstore2 = loop_closing.apply_loop_correction(
+        kstore, pstore, lstore, K, K - 1, 0,
+        jnp.eye(3), jnp.asarray(drift), cfg,
+    )
+    # corrected last pose should be near ground truth
+    t_err_before = np.linalg.norm(t_est[K - 1] - t_gt[K - 1])
+    t_err_after = np.linalg.norm(np.asarray(kstore2.t[K - 1]) - t_gt[K - 1])
+    assert t_err_after < 0.35 * t_err_before, (t_err_before, t_err_after)
+    # landmarks moved with their reference keyframe toward truth
+    lm_err_before = np.linalg.norm(x_drifted - x_true, axis=1).mean()
+    lm_err_after = np.linalg.norm(np.asarray(pstore2.x[:n_lm]) - x_true, axis=1).mean()
+    assert lm_err_after < 0.5 * lm_err_before, (lm_err_before, lm_err_after)
+
+
+def test_match_kf_landmarks(rng):
+    cfg = SlamConfig.tiny_test()
+    S = 16
+    kstore = st.KeyFrameStore.empty(8, S, 4)
+    pstore = st.PointStore.empty(64)
+    # two KFs observing the same 10 landmarks with identical descriptors
+    descs = jnp.asarray(rng.choice([-1, 1], size=(10, 256)), jnp.int8)
+    x = jnp.asarray(rng.normal(size=(10, 3)), jnp.float32)
+    pstore = dataclasses.replace(
+        pstore,
+        x=pstore.x.at[:10].set(x),
+        valid=pstore.valid.at[:10].set(True),
+    )
+    obs_a = jnp.full(S, -1, jnp.int32).at[:10].set(jnp.arange(10))
+    perm = rng.permutation(10)
+    obs_b = jnp.full(S, -1, jnp.int32).at[:10].set(jnp.asarray(perm))
+    kstore = dataclasses.replace(
+        kstore,
+        obs_pt=kstore.obs_pt.at[0].set(obs_a).at[1].set(obs_b),
+        valid=kstore.valid.at[:2].set(True),
+    )
+    desc_table = jnp.zeros((8, S, 256), jnp.int8)
+    desc_table = desc_table.at[0, :10].set(descs)
+    desc_table = desc_table.at[1, :10].set(descs[jnp.asarray(perm)])
+    xa, xb, ok = loop_closing.match_kf_landmarks(kstore, pstore, desc_table, 0, 1)
+    assert int(ok.sum()) == 10
+    np.testing.assert_allclose(np.asarray(xa)[np.asarray(ok)], np.asarray(xb)[np.asarray(ok)], atol=1e-6)
