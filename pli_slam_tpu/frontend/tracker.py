@@ -345,6 +345,50 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
     return kstore, pstore, lstore
 
 
+def track_step_inertial(
+    cam, cfg: SlamConfig, frame: FrameData, preint, prev_state, init_state,
+    gravity_w, pstore: st.PointStore, lstore: st.LineStore,
+):
+    """Inertial analog of track_step: the 15-dof state is solved with the
+    preintegration factor in the loop (reference: TrackLocalMap's
+    PoseInertialOptimizationLastFrame path, src/Tracking.cc:3308)."""
+    from pli_slam_tpu.solve import inertial as inr
+
+    ext = inr.Extrinsics.identity()
+    R0, t0 = inr.camera_pose(init_state, ext)
+    r1 = cfg.match.search_radius_px
+    pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1)
+    ln_idx, ln_ok, _ = _match_lines_against_store(cam, cfg, frame, R0, t0, lstore, r1)
+    obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
+    st1, _, _, _ = inr.solve_pose_inertial(
+        cam, ext, obs, preint, prev_state, init_state, cfg.opt, cfg.imu, gravity_w=gravity_w
+    )
+
+    R1, t1 = inr.camera_pose(st1, ext)
+    r2 = jnp.maximum(r1 * 0.4, 4.0)
+    pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, R1, t1, pstore, r2)
+    ln_idx, ln_ok, ln_frust = _match_lines_against_store(cam, cfg, frame, R1, t1, lstore, r2)
+    obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
+    st2, in_pt, in_ln, n_in = inr.solve_pose_inertial(
+        cam, ext, obs, preint, prev_state, st1, cfg.opt, cfg.imu, gravity_w=gravity_w
+    )
+    pt_in = pt_ok & in_pt
+    ln_in = ln_ok & in_ln
+    pstore = dataclasses.replace(
+        pstore,
+        visible=pstore.visible + pt_frust.astype(jnp.int32),
+        found=pstore.found.at[jnp.maximum(pt_idx, 0)].add(pt_in.astype(jnp.int32)),
+    )
+    lstore = dataclasses.replace(
+        lstore,
+        visible=lstore.visible + ln_frust.astype(jnp.int32),
+        found=lstore.found.at[jnp.maximum(ln_idx, 0)].add(ln_in.astype(jnp.int32)),
+    )
+    R2, t2 = inr.camera_pose(st2, ext)
+    n = jnp.sum(pt_in.astype(jnp.int32)) + jnp.sum(ln_in.astype(jnp.int32))
+    return st2, R2, t2, pt_idx, pt_in, ln_idx, ln_in, n, pstore, lstore
+
+
 # ---------------------------------------------------------------------------
 # Host-side tracker
 # ---------------------------------------------------------------------------
@@ -397,6 +441,28 @@ class Tracker:
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.stats: list[dict] = []
 
+        # -- inertial state (sensor *_imu) --------------------------------
+        self.use_imu = cfg.sensor.endswith("_imu")
+        self.imu_ready = False
+        self.gravity_w = None  # world gravity vector after init
+        self.v_w = jnp.zeros(3)
+        self.bg = jnp.zeros(3)
+        self.ba = jnp.zeros(3)
+        self.last_preint = None
+        self._imu_history: list = []  # (preint, R_wb_visual) pairs for init
+        self._first_imu_stamp = None
+        if self.use_imu:
+            from pli_slam_tpu.ops import imu as imu_ops
+
+            Timu = cfg.imu.max_samples_per_frame
+
+            def _preint(gyro, acc, dts, mask, bg, ba):
+                return imu_ops.preintegrate(gyro, acc, dts, mask, bg, ba, cfg.imu)
+
+            self._preintegrate = jax.jit(_preint)
+            self._track_inertial = jax.jit(partial(track_step_inertial, cam, cfg))
+            self._imu_pad = Timu
+
     # -- pose helpers ------------------------------------------------------
     def _predict_pose(self):
         if self.vel_xi is None or not self.cfg.tracking.motion_model:
@@ -412,27 +478,140 @@ class Tracker:
         t_rel = self.t - lie._einsum("ij,j->i", R_rel, self.t_prev)
         self.vel_xi = lie.se3_log(R_rel, t_rel)
 
+    # -- IMU plumbing ------------------------------------------------------
+    def _ingest_imu(self, imu: dict, stamp: float):
+        """Preintegrate this frame's IMU batch with the current biases."""
+        gyro = np.asarray(imu["gyro"], np.float32).reshape(-1, 3)
+        acc = np.asarray(imu["acc"], np.float32).reshape(-1, 3)
+        stamps = np.asarray(imu["stamps"], np.float64).reshape(-1)
+        if self._first_imu_stamp is None and len(stamps):
+            self._first_imu_stamp = float(stamps[0])
+        T = self._imu_pad
+        n = min(len(stamps), T)
+        g = np.zeros((T, 3), np.float32)
+        a = np.zeros((T, 3), np.float32)
+        dts = np.zeros(T, np.float32)
+        mask = np.zeros(T, bool)
+        if n >= 2:
+            g[: n - 1] = 0.5 * (gyro[: n - 1] + gyro[1:n])
+            a[: n - 1] = 0.5 * (acc[: n - 1] + acc[1:n])
+            dts[: n - 1] = np.diff(stamps[:n]).astype(np.float32)
+            mask[: n - 1] = dts[: n - 1] > 0
+        self.last_preint = self._preintegrate(
+            jnp.asarray(g), jnp.asarray(a), jnp.asarray(dts), jnp.asarray(mask),
+            self.bg, self.ba,
+        )
+
+    def _try_imu_init(self):
+        """Gravity + gyro-bias initialization from the frame history.
+
+        (reference: LocalMapping::InitializeIMU first stage,
+        src/LocalMapping.cc:1206-1247 — gravity from summed dV, bias from
+        rotation residuals; scale is 1 for stereo.)
+        """
+        from pli_slam_tpu.solve import inertial as inr
+
+        if len(self._imu_history) < 20:
+            return
+        preints = [p for p, _ in self._imu_history]
+        R_wbs = [r for _, r in self._imu_history]
+        # visual relative rotations between consecutive frames
+        dRs = [lie._mm(R_wbs[i].T, R_wbs[i + 1]) for i in range(len(R_wbs) - 1)]
+        # prior_info ~ n * (sigma_visual_rot / sigma_bias_prior)^2 — with
+        # per-frame visual rotations the bias is weakly observable, so the
+        # prior keeps frame-noise from masquerading as bias (reference
+        # priorG, LocalMapping.cc:1247)
+        self.bg = inr.estimate_gyro_bias(preints[1:], dRs, prior_info=0.5 * len(dRs))
+        dirG = jnp.zeros(3)
+        for p, R_wb in zip(preints[1:], R_wbs[:-1]):
+            dirG = dirG - lie._einsum("ij,j->i", R_wb, p.dV)
+        norm = float(jnp.linalg.norm(dirG))
+        if norm < 1e-6:
+            return
+        self.gravity_w = dirG / norm * self.cfg.imu.gravity
+        # velocity from the trajectory over a multi-frame window (a single
+        # finite difference amplifies per-frame jitter ~20x at 20 fps)
+        if len(self.trajectory) >= 7:
+            (t0, _, p0) = self.trajectory[-7]
+            (t1, _, p1) = self.trajectory[-1]
+            if t1 > t0:
+                self.v_w = jnp.asarray((p1 - p0) / (t1 - t0), jnp.float32)
+        self.imu_ready = True
+
+    def _body_state(self):
+        from pli_slam_tpu.solve import inertial as inr
+
+        R_wb = self.R.T  # identity extrinsics: body = camera
+        p_w = -lie._einsum("ij,j->i", self.R.T, self.t)
+        return inr.BodyState(R_wb=R_wb, p_w=p_w, v_w=self.v_w, bg=self.bg, ba=self.ba)
+
     # -- main entry --------------------------------------------------------
-    def process(self, img_l, img_r, stamp: float) -> dict:
+    def process(self, img_l, img_r, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         frame = self.build_frame(jnp.asarray(img_l), jnp.asarray(img_r))
+        if self.use_imu and imu is not None:
+            self._ingest_imu(imu, stamp)
         if self.state == TrackingState.NOT_INITIALIZED:
             return self._initialize(frame, stamp)
 
-        R0, t0 = self._predict_pose()
-        (R, t, pt_idx, pt_in, ln_idx, ln_in, n_in, self.pstore, self.lstore) = self._track(
-            frame, R0, t0, self.pstore, self.lstore
-        )
-        n_inliers = int(n_in)
+        inertial_mode = self.use_imu and self.imu_ready and self.last_preint is not None
+        if inertial_mode:
+            from pli_slam_tpu.ops import imu as imu_ops
+            from pli_slam_tpu.solve import inertial as inr
 
-        self.R_prev, self.t_prev = self.R, self.t
-        if n_inliers >= self.cfg.tracking.min_inliers_track:
-            self.R, self.t = R, t
-            self.state = TrackingState.OK
-            self._update_motion_model()
+            prev_state = self._body_state()
+            R_pred, v_pred, p_pred = imu_ops.predict_state(
+                prev_state.R_wb, prev_state.v_w, prev_state.p_w,
+                self.last_preint, self.bg, self.ba, self.gravity_w,
+            )
+            init_state = inr.BodyState(
+                R_wb=R_pred, p_w=p_pred, v_w=v_pred, bg=self.bg, ba=self.ba
+            )
+            (state2, R, t, pt_idx, pt_in, ln_idx, ln_in, n_in,
+             self.pstore, self.lstore) = self._track_inertial(
+                frame, self.last_preint, prev_state, init_state, self.gravity_w,
+                self.pstore, self.lstore,
+            )
+            n_inliers = int(n_in)
+            self.R_prev, self.t_prev = self.R, self.t
+            if n_inliers >= self.cfg.tracking.min_inliers_track:
+                self.R, self.t = R, t
+                self.v_w = state2.v_w
+                self.bg = state2.bg
+                self.ba = state2.ba
+                self.state = TrackingState.OK
+                self._update_motion_model()
+            else:
+                # dead-reckon on the IMU (reference RECENTLY_LOST+IMU path)
+                ext = inr.Extrinsics.identity()
+                self.R, self.t = inr.camera_pose(init_state, ext)
+                self.v_w = v_pred
+                self.state = TrackingState.RECENTLY_LOST
         else:
-            # dead-reckon on the motion model (RECENTLY_LOST behavior)
-            self.R, self.t = R0, t0
-            self.state = TrackingState.RECENTLY_LOST
+            R0, t0 = self._predict_pose()
+            (R, t, pt_idx, pt_in, ln_idx, ln_in, n_in, self.pstore, self.lstore) = self._track(
+                frame, R0, t0, self.pstore, self.lstore
+            )
+            n_inliers = int(n_in)
+
+            self.R_prev, self.t_prev = self.R, self.t
+            if n_inliers >= self.cfg.tracking.min_inliers_track:
+                self.R, self.t = R, t
+                self.state = TrackingState.OK
+                self._update_motion_model()
+            else:
+                # dead-reckon on the motion model (RECENTLY_LOST behavior)
+                self.R, self.t = R0, t0
+                self.state = TrackingState.RECENTLY_LOST
+
+        # inertial bookkeeping: history for init, then try to initialize
+        if self.use_imu and self.last_preint is not None and self.state == TrackingState.OK:
+            if not self.imu_ready:
+                self._imu_history.append((self.last_preint, self.R.T))
+                if (
+                    self._first_imu_stamp is not None
+                    and stamp - self._first_imu_stamp >= self.cfg.imu.init_time_sec
+                ):
+                    self._try_imu_init()
 
         self.frames_since_kf += 1
         # KF decision (reference NeedNewKeyFrame c1a/c2): compare against
@@ -448,7 +627,7 @@ class Tracker:
             )
         )
         n_new = 0
-        if need_kf and self.n_kf < self.cfg.map.max_keyframes:
+        if allow_mapping and need_kf and self.n_kf < self.cfg.map.max_keyframes:
             n_new = self._create_keyframe(frame, stamp, pt_idx, pt_in, ln_idx, ln_in)
             self.last_kf_inliers = n_inliers + int(n_new)
             self.frames_since_kf = 0
@@ -493,6 +672,14 @@ class Tracker:
             frame, self.R, self.t, stamp, pt_idx, pt_in, ln_idx, ln_in, self.n_kf,
             self.pstore, self.lstore, self.kstore,
         )
+        if self.use_imu:
+            k = self.n_kf
+            self.kstore = dataclasses.replace(
+                self.kstore,
+                v_w=self.kstore.v_w.at[k].set(self.v_w),
+                bg=self.kstore.bg.at[k].set(self.bg),
+                ba=self.kstore.ba.at[k].set(self.ba),
+            )
         self.n_kf += 1
         # windowed BA over the last W keyframes (first two fixed for gauge)
         W = self.cfg.opt.local_ba_window

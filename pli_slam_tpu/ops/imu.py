@@ -152,13 +152,17 @@ def delta_position(p: Preintegrated, bg: jax.Array, ba: jax.Array) -> jax.Array:
 
 def predict_state(
     Rwb0: jax.Array, vw0: jax.Array, pw0: jax.Array,
-    p: Preintegrated, bg: jax.Array, ba: jax.Array, gravity: float = 9.81,
+    p: Preintegrated, bg: jax.Array, ba: jax.Array, gravity=9.81,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Dead-reckon body state across the preintegration window.
 
-    (reference: Tracking::PredictStateIMU, src/Tracking.cc:1197-1249)
+    `gravity` is a scalar magnitude (acts along world -z) or a world
+    gravity vector [3]. (reference: Tracking::PredictStateIMU,
+    src/Tracking.cc:1197-1249)
     """
-    g = jnp.array([0.0, 0.0, -gravity])
+    g = jnp.asarray(gravity)
+    if g.ndim == 0:
+        g = jnp.array([0.0, 0.0, -1.0]) * g
     dt = p.dt
     dR = delta_rotation(p, bg)
     dV = delta_velocity(p, bg, ba)

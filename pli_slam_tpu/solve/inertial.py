@@ -93,11 +93,13 @@ def solve_pose_inertial(
     opt_cfg: OptimizerConfig,
     imu_cfg: ImuConfig,
     cauchy_c2: float = 5.991,
+    gravity_w=None,  # world gravity vector [3]; default magnitude along -z
 ):
     """GN over the 15-dof current state with the previous state fixed.
 
     Returns (state, inlier_pt, inlier_ln, n_inliers).
     """
+    grav = imu_cfg.gravity if gravity_w is None else gravity_w
     # IMU factor information from the preintegration covariance
     cov = preint.cov + jnp.eye(9) * 1e-8
     info_imu = jnp.linalg.inv(cov)
@@ -173,7 +175,7 @@ def solve_pose_inertial(
 
             r_imu = res.imu_residual(
                 preint, prev.R_wb, prev.p_w, prev.v_w, st.R_wb, st.p_w, st.v_w,
-                st.bg, st.ba, imu_cfg.gravity,
+                st.bg, st.ba, grav,
             )
             r_bg = st.bg - prev.bg
             r_ba = st.ba - prev.ba
@@ -230,21 +232,23 @@ def solve_pose_inertial(
     return state, inlier_pt, inlier_ln, n
 
 
-def estimate_gyro_bias(preints: list, dRs_visual: list) -> jax.Array:
+def estimate_gyro_bias(preints: list, dRs_visual: list, prior_info: float = 0.0) -> jax.Array:
     """Gyro bias from visual rotations vs preintegrated rotations.
 
     Solve min_bg sum || Log( (dR_preint Exp(JRg bg))^T dR_visual ) ||^2
-    by one Gauss-Newton step from bg=0 (the problem is almost linear).
-    (reference: InertialOptimization's gyro-bias estimation role.)
+    (+ prior_info * ||bg||^2) by one Gauss-Newton step from bg=0.
+    (reference: InertialOptimization with priorG — the prior matters
+    because frame-level visual rotation noise makes the bias weakly
+    observable over short windows, src/LocalMapping.cc:1247 priorG=1e2.)
     """
     H = jnp.zeros((3, 3))
     g = jnp.zeros(3)
     for p, dR_vis in zip(preints, dRs_visual):
-        r = lie.so3_log(lie._mm(p.dR.T, dR_vis))  # residual at bg=0
-        J = p.JRg  # d r / d bg ~ -JRg (sign folded below)
+        r = lie.so3_log(lie._mm(p.dR.T, dR_vis))
+        J = p.JRg
         H = H + lie._mm(J.T, J)
         g = g + lie._einsum("ij,j->i", J.T, r)
-    return jnp.linalg.solve(H + 1e-9 * jnp.eye(3), g)
+    return jnp.linalg.solve(H + (prior_info + 1e-9) * jnp.eye(3), g)
 
 
 def estimate_gravity_direction(preints: list, R_wb_list: list, gravity: float = 9.81) -> jax.Array:

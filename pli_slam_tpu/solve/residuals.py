@@ -134,7 +134,7 @@ def imu_residual(
     preint,  # Preintegrated between states 0 and 1
     R0, p0, v0, R1, p1, v1,  # body states in world (Rwb, p_w, v_w)
     bg, ba,  # biases at state 0 (shared linearization, like the reference)
-    gravity: float = 9.81,
+    gravity=9.81,  # scalar magnitude (world -z) or world gravity vector [3]
 ):
     """9-dof preintegration factor (reference EdgeInertial::computeError,
     src/G2oTypes.cc): r = [r_phi, r_v, r_p].
@@ -145,7 +145,9 @@ def imu_residual(
     """
     from pli_slam_tpu.ops import imu as imu_ops
 
-    g = jnp.array([0.0, 0.0, -gravity])
+    g = jnp.asarray(gravity)
+    if g.ndim == 0:
+        g = jnp.array([0.0, 0.0, -1.0]) * g
     dt = preint.dt
     dR = imu_ops.delta_rotation(preint, bg)
     dV = imu_ops.delta_velocity(preint, bg, ba)

