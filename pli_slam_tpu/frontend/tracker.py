@@ -438,6 +438,7 @@ class Tracker:
         self.vel_xi = None  # motion model twist (T_cw_k ∘ T_wc_{k-1})
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
+        self._lost_frames = 0
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.stats: list[dict] = []
 
@@ -545,6 +546,64 @@ class Tracker:
         p_w = -lie._einsum("ij,j->i", self.R.T, self.t)
         return inr.BodyState(R_wb=R_wb, p_w=p_w, v_w=self.v_w, bg=self.bg, ba=self.ba)
 
+    # -- relocalization (reference Tracking::Relocalization :4176) --------
+    def _relocalize(self, frame) -> bool:
+        """BoW candidate search + wide-window re-track from candidate poses.
+
+        The reference runs MLPnP RANSAC per candidate; with dense gated
+        matching, re-running the full match->GN solve seeded at the
+        candidate keyframe's pose plays the same role (the first match
+        round IS a guided 2D-3D association).
+        """
+        if self.loop_closer is None or self.n_kf == 0:
+            return False
+        from pli_slam_tpu.worldmap import vocab as vocab_mod
+
+        bow_pt, bow_ln = self.loop_closer._bow(
+            frame.feats.desc, frame.feats.valid, frame.lines.desc, frame.lines.valid
+        )
+        slots, scores = self.loop_closer._query(
+            self.loop_closer.db, bow_pt, bow_ln,
+            jnp.zeros(self.loop_closer.db.valid.shape[0], bool),
+            n_best=self.cfg.loop.bow_candidates,
+        )
+        for c in range(self.cfg.loop.bow_candidates):
+            k = int(slots[c])
+            if k < 0 or float(scores[c]) <= 0.05:
+                continue
+            R0 = self.kstore.R[k]
+            t0 = self.kstore.t[k]
+            (R, t, pt_idx, pt_in, ln_idx, ln_in, n_in, self.pstore, self.lstore) = self._track(
+                frame, R0, t0, self.pstore, self.lstore
+            )
+            if int(n_in) >= self.cfg.tracking.min_inliers_local_map:
+                self.R, self.t = R, t
+                self.vel_xi = None
+                self.state = TrackingState.OK
+                return True
+        return False
+
+    # -- keyframe culling (reference LocalMapping::KeyFrameCulling :895) ---
+    def _cull_keyframes(self):
+        """Invalidate redundant keyframes: >=90% of their landmarks are
+        observed by >= cull_min_obs other keyframes. Recent KFs and KF 0
+        are kept (gauge / active window)."""
+        if self.n_kf < self.cfg.opt.local_ba_window + 2:
+            return
+        lo, hi = 1, self.n_kf - self.cfg.opt.local_ba_window
+        if hi <= lo:
+            return
+        obs = self.kstore.obs_pt[lo:hi]  # [Kc, S]
+        has = obs >= 0
+        n_obs = self.pstore.n_obs[jnp.maximum(obs, 0)]
+        redundant_frac = jnp.sum(
+            (n_obs >= self.cfg.map.cull_min_obs + 1) & has, axis=1
+        ) / jnp.maximum(jnp.sum(has, axis=1), 1)
+        cull = (redundant_frac >= self.cfg.map.kf_cull_redundancy) & self.kstore.valid[lo:hi]
+        self.kstore = dataclasses.replace(
+            self.kstore, valid=self.kstore.valid.at[lo:hi].set(self.kstore.valid[lo:hi] & ~cull)
+        )
+
     # -- main entry --------------------------------------------------------
     def process(self, img_l, img_r, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         frame = self.build_frame(jnp.asarray(img_l), jnp.asarray(img_r))
@@ -580,6 +639,7 @@ class Tracker:
                 self.ba = state2.ba
                 self.state = TrackingState.OK
                 self._update_motion_model()
+                self._lost_frames = 0
             else:
                 # dead-reckon on the IMU (reference RECENTLY_LOST+IMU path)
                 ext = inr.Extrinsics.identity()
@@ -598,10 +658,15 @@ class Tracker:
                 self.R, self.t = R, t
                 self.state = TrackingState.OK
                 self._update_motion_model()
+                self._lost_frames = 0
             else:
                 # dead-reckon on the motion model (RECENTLY_LOST behavior)
                 self.R, self.t = R0, t0
                 self.state = TrackingState.RECENTLY_LOST
+                self._lost_frames += 1
+                if self._lost_frames >= 2 and self._relocalize(frame):
+                    n_inliers = self.cfg.tracking.min_inliers_local_map
+                    self._lost_frames = 0
 
         # inertial bookkeeping: history for init, then try to initialize
         if self.use_imu and self.last_preint is not None and self.state == TrackingState.OK:
@@ -704,6 +769,7 @@ class Tracker:
             self.t = self.kstore.t[k]
         if self.loop_closer is not None:
             self.loop_closer.detect_and_close(self.n_kf - 1, frame, self)
+        self._cull_keyframes()
         return int(n_new)
 
     def _record(self, stamp: float):
