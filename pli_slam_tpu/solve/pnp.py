@@ -1,0 +1,90 @@
+"""Batched P3P/PnP RANSAC for relocalization.
+
+TPU-native replacement for `MLPnPsolver` (reference: src/MLPnPsolver.cpp
+— ML-PnP inside an early-exit RANSAC `iterate` :70, consumed by
+Tracking::Relocalization src/Tracking.cc:4223) and the vestigial EPnP
+(src/PnPsolver.cc). The sequential RANSAC becomes a fixed hypothesis
+batch: each hypothesis aligns 3 world points to their back-projected
+camera-frame counterparts via Horn (a closed-form P3P surrogate given a
+depth seed), all hypotheses score in parallel, and the winner is
+polished by the shared GN pose solver (solve/gn.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pli_slam_tpu.ops import camera as cam_ops
+from pli_slam_tpu.ops import lie
+from pli_slam_tpu.solve import sim3
+from pli_slam_tpu.utils.config import OptimizerConfig
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def ransac_pnp(
+    cam,
+    x_w: jax.Array,  # [N,3] world points
+    uv: jax.Array,  # [N,2] observed pixels
+    depth_seed: jax.Array,  # [N] depth estimates (stereo) for hypothesis lift
+    mask: jax.Array,  # [N]
+    key: jax.Array,
+    n_hypotheses: int = 256,
+    inlier_px: float = 4.0,
+    min_inliers: int = 15,
+):
+    """Returns (R_cw, t_cw, inliers [N], n_inliers, ok).
+
+    Hypotheses use the stereo depth seed to lift 2D observations into
+    camera-frame 3D, then solve 3-point rigid alignment in closed form
+    — each hypothesis costs one 4x4 eigendecomposition, all in parallel.
+    """
+    n = x_w.shape[0]
+    probs = mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(probs.sum(), 1e-9)
+    idx = jax.random.choice(key, n, shape=(n_hypotheses, 3), replace=True, p=probs)
+
+    rays = cam_ops.unproject(cam, uv)  # [N,3] z=1
+    x_c_seed = rays * depth_seed[:, None]
+    xs_w = x_w[idx]  # [H,3,3]
+    xs_c = x_c_seed[idx]
+    w3 = jnp.ones((n_hypotheses, 3))
+    R_h, t_h, _ = sim3.horn_alignment(xs_w, xs_c, w3, with_scale=False)  # world->cam
+
+    # score: reprojection inliers
+    xc = jnp.einsum("hij,nj->hni", R_h, x_w, precision=_HI) + t_h[:, None, :]
+    uv_p = cam_ops.project(cam, xc)
+    err2 = jnp.sum((uv_p - uv[None]) ** 2, axis=-1)
+    inl = (err2 < inlier_px * inlier_px) & (xc[..., 2] > 0.05) & mask[None]
+    counts = inl.sum(axis=1)
+    best = jnp.argmax(counts)
+    R_b, t_b = R_h[best], t_h[best]
+    inliers = inl[best]
+    n_in = counts[best]
+    ok = n_in >= min_inliers
+    return R_b, t_b, inliers, n_in, ok
+
+
+def solve_pnp(
+    cam, x_w, uv, u_right, stereo_mask, depth_seed, sigma2, mask, key,
+    opt_cfg: OptimizerConfig | None = None,
+):
+    """RANSAC + GN polish (the reference's iterate->PoseOptimization loop)."""
+    from pli_slam_tpu.solve import gn
+
+    opt_cfg = opt_cfg or OptimizerConfig()
+    R0, t0, inl, n_in, ok = ransac_pnp(cam, x_w, uv, depth_seed, mask, key)
+    n_l = 8
+    obs = gn.PoseObservations(
+        x_w=x_w,
+        uvr=jnp.concatenate([uv, u_right[:, None]], axis=-1),
+        stereo_mask=stereo_mask,
+        point_mask=inl,
+        sigma2_pt=sigma2,
+        xs_w=jnp.zeros((n_l, 3)), xe_w=jnp.zeros((n_l, 3)),
+        l_obs=jnp.zeros((n_l, 3)), line_mask=jnp.zeros(n_l, bool),
+        sigma2_ln=jnp.ones(n_l),
+    )
+    res = gn.solve_pose(cam, obs, R0, t0, opt_cfg)
+    return res.R_cw, res.t_cw, res.inlier_pt, res.n_inliers, ok
