@@ -115,7 +115,7 @@ class TestPnP:
         xi = jnp.asarray([0.1, 0.2, -0.1, 0.03, -0.02, 0.05], jnp.float32)
         R, t = lie.se3_exp(xi)
         x_c = lie.se3_apply(R, t, jnp.asarray(X))
-        uvr = np.asarray(cam_ops.stereo_project(cam, x_c))
+        uvr = np.array(cam_ops.stereo_project(cam, x_c))
         uvr[:, :2] += rng.normal(size=(n, 2)) * 0.3
         depth = np.asarray(x_c[:, 2])
         R_e, t_e, inl, n_in, ok = pnp.solve_pnp(
