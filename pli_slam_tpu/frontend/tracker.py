@@ -425,6 +425,9 @@ class Tracker:
             m.max_keyframes, cfg.orb.n_features, cfg.lines.n_lines
         )
         self.state = TrackingState.NOT_INITIALIZED
+        from pli_slam_tpu.worldmap.atlas import Atlas
+
+        self.atlas = Atlas(cfg)
         self.loop_closer = None
         if cfg.loop.enabled:
             from pli_slam_tpu.frontend.loop_closing import LoopCloser
@@ -545,6 +548,29 @@ class Tracker:
         R_wb = self.R.T  # identity extrinsics: body = camera
         p_w = -lie._einsum("ij,j->i", self.R.T, self.t)
         return inr.BodyState(R_wb=R_wb, p_w=p_w, v_w=self.v_w, bg=self.bg, ba=self.ba)
+
+    # -- Atlas: new map on persistent loss ---------------------------------
+    def _switch_to_new_map(self):
+        import dataclasses as _dc
+
+        from pli_slam_tpu.worldmap.atlas import MapBundle
+
+        self.atlas.maps[self.atlas.active_idx] = MapBundle(
+            pstore=self.pstore, lstore=self.lstore, kstore=self.kstore, n_kf=self.n_kf
+        )
+        fresh = self.atlas.create_new_map()
+        self.pstore = fresh.pstore
+        self.lstore = fresh.lstore
+        self.kstore = fresh.kstore
+        self.n_kf = 0
+        self.state = TrackingState.NOT_INITIALIZED
+        self.vel_xi = None
+        self._lost_frames = 0
+        self.frames_since_kf = 0
+        if self.loop_closer is not None:
+            from pli_slam_tpu.frontend.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.cfg, self.cfg.map.max_keyframes)
 
     # -- relocalization (reference Tracking::Relocalization :4176) --------
     def _relocalize(self, frame) -> bool:
@@ -667,6 +693,12 @@ class Tracker:
                 if self._lost_frames >= 2 and self._relocalize(frame):
                     n_inliers = self.cfg.tracking.min_inliers_local_map
                     self._lost_frames = 0
+                elif self._lost_frames > self.cfg.tracking.recently_lost_sec * self.cfg.fps:
+                    # persistent loss: park the current map in the Atlas and
+                    # start a fresh one (reference CreateMapInAtlas,
+                    # src/Tracking.cc:2565; merge-back happens when place
+                    # recognition later hits a stored map's keyframe)
+                    self._switch_to_new_map()
 
         # inertial bookkeeping: history for init, then try to initialize
         if self.use_imu and self.last_preint is not None and self.state == TrackingState.OK:

@@ -1,0 +1,176 @@
+"""Atlas: multi-map container with new-map-on-loss and map merging.
+
+TPU-native replacement for `Atlas` (reference: include/Atlas.h:57 —
+active map + stored maps, `CreateNewMap` :80) and the merge machinery
+(`LoopClosing::MergeLocal/MergeLocal2`, src/LoopClosing.cc:1096/:1761).
+
+A Map is a bundle of the three SoA stores plus its BoW database. On
+persistent tracking loss a fresh map becomes active (reference
+Tracking::CreateMapInAtlas, src/Tracking.cc:2565); when place
+recognition later hits a keyframe of a stored map, the active map is
+welded into it: every active pose/landmark is transformed by the
+verified SE3/Sim3 and copied into the stored map's free slots with
+index remapping done as pure array ops (the reference's pointer surgery
+becomes a gather/scatter pass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pli_slam_tpu.ops import lie
+from pli_slam_tpu.utils.config import SlamConfig
+from pli_slam_tpu.worldmap import stores as st
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass
+class MapBundle:
+    pstore: st.PointStore
+    lstore: st.LineStore
+    kstore: st.KeyFrameStore
+    n_kf: int = 0
+
+    @staticmethod
+    def empty(cfg: SlamConfig) -> "MapBundle":
+        m = cfg.map
+        return MapBundle(
+            pstore=st.PointStore.empty(m.max_points),
+            lstore=st.LineStore.empty(m.max_lines),
+            kstore=st.KeyFrameStore.empty(m.max_keyframes, cfg.orb.n_features, cfg.lines.n_lines),
+        )
+
+
+class Atlas:
+    """Host-side multi-map registry (the stores themselves live on device)."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.maps: list[MapBundle] = [MapBundle.empty(cfg)]
+        self.active_idx = 0
+
+    @property
+    def active(self) -> MapBundle:
+        return self.maps[self.active_idx]
+
+    def n_maps(self) -> int:
+        return len(self.maps)
+
+    def create_new_map(self) -> MapBundle:
+        """New active map on tracking loss (reference CreateMapInAtlas)."""
+        self.maps.append(MapBundle.empty(self.cfg))
+        self.active_idx = len(self.maps) - 1
+        return self.active
+
+    def merge_active_into(self, target_idx: int, R_rel: jax.Array, t_rel: jax.Array) -> MapBundle:
+        """Weld the active map into maps[target_idx].
+
+        (R_rel, t_rel) maps ACTIVE-map world coordinates into TARGET-map
+        world coordinates: x_t = R x_a + t. Poses transform as
+        T_cw_t = T_cw_a ∘ T_rel^-1. Active-map landmark/keyframe rows are
+        copied into the target's free slots; observation tables are
+        re-indexed with gathers. The merged map becomes active; the old
+        active map is dropped (reference SetBadFlag on the merged map).
+        """
+        src = self.active
+        dst = self.maps[target_idx]
+        dst_merged = merge_maps(dst, src, R_rel, t_rel)
+        self.maps[target_idx] = dst_merged
+        self.maps.pop(self.active_idx)
+        self.active_idx = target_idx if target_idx < self.active_idx else target_idx - 1
+        return self.active
+
+
+def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel) -> MapBundle:
+    """Pure function: copy src (transformed) into dst's free slots."""
+    # --- transform src geometry into dst world ---------------------------
+    Rr_inv, tr_inv = lie.se3_inverse(R_rel, t_rel)
+    src_pts = lie._einsum("ij,nj->ni", R_rel, src.pstore.x) + t_rel
+    src_seg = jnp.concatenate(
+        [
+            lie._einsum("ij,nj->ni", R_rel, src.lstore.seg[:, :3]) + t_rel,
+            lie._einsum("ij,nj->ni", R_rel, src.lstore.seg[:, 3:]) + t_rel,
+        ],
+        axis=-1,
+    )
+    # poses: T_cw_dst = T_cw_src ∘ T_rel^-1
+    src_R = jnp.einsum("kij,jl->kil", src.kstore.R, Rr_inv, precision=_HI)
+    src_t = jnp.einsum("kij,j->ki", src.kstore.R, tr_inv, precision=_HI) + src.kstore.t
+
+    # --- allocate free slots in dst --------------------------------------
+    def remap_into(dst_valid, src_valid):
+        slots, ok = st.alloc_slots(~dst_valid, src_valid)
+        # mapping src row -> dst row (or -1)
+        return slots, ok
+
+    pt_slots, pt_ok = remap_into(dst.pstore.valid, src.pstore.valid)
+    ln_slots, ln_ok = remap_into(dst.lstore.valid, src.lstore.valid)
+    kf_slots, kf_ok = remap_into(dst.kstore.valid, src.kstore.valid)
+
+    def scatter_rows(dst_arr, src_arr, slots, ok):
+        safe = jnp.maximum(slots, 0)
+        if dst_arr.ndim == 1:
+            return dst_arr.at[safe].set(jnp.where(ok, src_arr, dst_arr[safe]))
+        mask = ok.reshape((-1,) + (1,) * (dst_arr.ndim - 1))
+        return dst_arr.at[safe].set(jnp.where(mask, src_arr, dst_arr[safe]))
+
+    # --- points -----------------------------------------------------------
+    ps = dst.pstore
+    ps = dataclasses.replace(
+        ps,
+        x=scatter_rows(ps.x, src_pts, pt_slots, pt_ok),
+        desc=scatter_rows(ps.desc, src.pstore.desc, pt_slots, pt_ok),
+        valid=scatter_rows(ps.valid, src.pstore.valid, pt_slots, pt_ok),
+        n_obs=scatter_rows(ps.n_obs, src.pstore.n_obs, pt_slots, pt_ok),
+        visible=scatter_rows(ps.visible, src.pstore.visible, pt_slots, pt_ok),
+        found=scatter_rows(ps.found, src.pstore.found, pt_slots, pt_ok),
+    )
+    ls = dst.lstore
+    ls = dataclasses.replace(
+        ls,
+        seg=scatter_rows(ls.seg, src_seg, ln_slots, ln_ok),
+        desc=scatter_rows(ls.desc, src.lstore.desc, ln_slots, ln_ok),
+        valid=scatter_rows(ls.valid, src.lstore.valid, ln_slots, ln_ok),
+        n_obs=scatter_rows(ls.n_obs, src.lstore.n_obs, ln_slots, ln_ok),
+    )
+
+    # --- keyframes with re-indexed observation tables ---------------------
+    # src obs_pt holds src-point ids; map through pt_slots (gather), -1 safe
+    def remap_obs(obs_src, lm_slots):
+        safe = jnp.maximum(obs_src, 0)
+        mapped = lm_slots[safe]
+        return jnp.where(obs_src >= 0, mapped, -1)
+
+    obs_pt_new = remap_obs(src.kstore.obs_pt, pt_slots)
+    obs_ln_new = remap_obs(src.kstore.obs_ln, ln_slots)
+    # also remap landmark->kf anchors
+    ps = dataclasses.replace(
+        ps,
+        first_kf=scatter_rows(ps.first_kf, jnp.maximum(kf_slots[jnp.clip(src.pstore.first_kf, 0, kf_slots.shape[0] - 1)], 0), pt_slots, pt_ok),
+        last_kf=scatter_rows(ps.last_kf, jnp.maximum(kf_slots[jnp.clip(src.pstore.last_kf, 0, kf_slots.shape[0] - 1)], 0), pt_slots, pt_ok),
+    )
+    ks = dst.kstore
+    ks = dataclasses.replace(
+        ks,
+        R=scatter_rows(ks.R, src_R, kf_slots, kf_ok),
+        t=scatter_rows(ks.t, src_t, kf_slots, kf_ok),
+        v_w=scatter_rows(ks.v_w, lie._einsum("ij,kj->ki", R_rel, src.kstore.v_w), kf_slots, kf_ok),
+        bg=scatter_rows(ks.bg, src.kstore.bg, kf_slots, kf_ok),
+        ba=scatter_rows(ks.ba, src.kstore.ba, kf_slots, kf_ok),
+        stamp=scatter_rows(ks.stamp, src.kstore.stamp, kf_slots, kf_ok),
+        valid=scatter_rows(ks.valid, src.kstore.valid, kf_slots, kf_ok),
+        obs_pt=scatter_rows(ks.obs_pt, obs_pt_new, kf_slots, kf_ok),
+        obs_uvr=scatter_rows(ks.obs_uvr, src.kstore.obs_uvr, kf_slots, kf_ok),
+        obs_sigma2=scatter_rows(ks.obs_sigma2, src.kstore.obs_sigma2, kf_slots, kf_ok),
+        obs_stereo=scatter_rows(ks.obs_stereo, src.kstore.obs_stereo, kf_slots, kf_ok),
+        obs_ln=scatter_rows(ks.obs_ln, obs_ln_new, kf_slots, kf_ok),
+        obs_l=scatter_rows(ks.obs_l, src.kstore.obs_l, kf_slots, kf_ok),
+        obs_ln_sigma2=scatter_rows(ks.obs_ln_sigma2, src.kstore.obs_ln_sigma2, kf_slots, kf_ok),
+    )
+    n_kf = int(jnp.sum(ks.valid.astype(jnp.int32)))
+    return MapBundle(pstore=ps, lstore=ls, kstore=ks, n_kf=max(dst.n_kf, n_kf))
