@@ -26,7 +26,7 @@ def test_draw_map(mini_tracker, tmp_path):
     tr, _ = mini_tracker
     p = str(tmp_path / "map.png")
     viewer.draw_map(tr, p)
-    assert np.asarray(open(p, "rb").read(8))[1:4].tobytes() == b"PNG"
+    assert open(p, "rb").read(8)[1:4] == b"PNG"
 
 
 def test_draw_frame(mini_tracker, tmp_path):
