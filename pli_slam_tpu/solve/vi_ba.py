@@ -30,6 +30,7 @@ from pli_slam_tpu.solve import ba as ba_mod
 from pli_slam_tpu.utils.config import ImuConfig, OptimizerConfig
 
 _HI = jax.lax.Precision.HIGHEST
+_DEBUG_CAPTURE = None  # set to a dict to capture the last solve (tests/debug)
 
 
 @jax.tree_util.register_dataclass
@@ -150,7 +151,10 @@ def vi_ba_iteration(cam, prob: VIBAProblem, R, t, v, bg, ba_, pts, lns, cfg: Opt
 
     # ---- IMU chain factors ----------------------------------------------
     dtk = jnp.maximum(prob.preint.dt, 1e-3)  # [W-1]
-    info_imu = jnp.linalg.inv(prob.preint.cov + jnp.eye(9)[None] * 1e-8)  # [W-1,9,9]
+    # covariance floor: ideal/short-window preintegration covariances
+    # underflow float32 to ~0; unfloored information (~1e8+) swamps the
+    # visual blocks and destroys the f32 solve
+    info_imu = jnp.linalg.inv(prob.preint.cov + jnp.eye(9)[None] * 1e-6)  # [W-1,9,9]
     info_bg = jnp.eye(3)[None] / (imu_cfg.walk_gyro ** 2 * dtk)[:, None, None]
     info_ba = jnp.eye(3)[None] / (imu_cfg.walk_acc ** 2 * dtk)[:, None, None]
 
@@ -184,16 +188,47 @@ def vi_ba_iteration(cam, prob: VIBAProblem, R, t, v, bg, ba_, pts, lns, cfg: Opt
     rhs = rhs.at[ks + 1].add(-gj)
 
     # ---- gauge + damping + solve ----------------------------------------
+    # Fix only the POSE dofs (cols 0:6) of gauge/boundary keyframes;
+    # their velocities and biases stay free — hard-fixing them anchors
+    # the whole velocity chain to the boundary value through the r_v
+    # factors (the reference's marginalization prior plays this role).
     eyeD = jnp.eye(D)
-    free = (base.pose_mask & ~base.fixed_mask).astype(S.dtype)
-    S = S * free[:, None, None, None] * free[None, :, None, None]
-    S = S.at[jnp.arange(W), jnp.arange(W)].add((1.0 - free)[:, None, None] * eyeD + damping * eyeD)
-    rhs = rhs * free[:, None]
+    exists = base.pose_mask.astype(S.dtype)
+    pose_free = (base.pose_mask & ~base.fixed_mask).astype(S.dtype)
+    dof_free = jnp.concatenate(
+        [jnp.tile(pose_free[:, None], (1, 6)), jnp.tile(exists[:, None], (1, 9))], axis=1
+    )  # [W, D]
+    S = S * dof_free[:, None, :, None] * dof_free[None, :, None, :]
+    # soft priors on the boundary keyframes' inertial states (the
+    # reference's EdgePriorPoseImu / marginalization prior): stiff enough
+    # to suppress weakly-observable common-mode drift, soft enough to let
+    # genuinely observed corrections through
+    prior = jnp.concatenate(
+        [jnp.zeros(6), jnp.full(3, 1e2), jnp.full(9 - 3, 1e4)]
+    )  # [D]: v info 1e2, bias info 1e4
+    fixed_f = (base.fixed_mask & base.pose_mask).astype(S.dtype)
+    S = S.at[jnp.arange(W), jnp.arange(W)].add(
+        jnp.eye(D)[None] * ((1.0 - dof_free)[:, None, :] + fixed_f[:, None, None] * prior[None, None, :])
+        + damping * eyeD
+    )
+    rhs = rhs * dof_free
 
     Sd = S.transpose(0, 2, 1, 3).reshape(W * D, W * D)
-    delta = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(W, D)
+    # Jacobi equilibration: the IMU information blocks sit ~5 orders of
+    # magnitude above the visual ones; rescaling to unit diagonal keeps
+    # the f32 Cholesky meaningful
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(Sd), 1e-12))
+    Sd_eq = Sd * dscale[:, None] * dscale[None, :]
+    rhs_eq = rhs.reshape(-1) * dscale
+    delta = (jnp.linalg.solve(Sd_eq, rhs_eq) * dscale).reshape(W, D)
+    if _DEBUG_CAPTURE is not None:
+        _DEBUG_CAPTURE.update(Sd=Sd, rhs=rhs, delta=delta)
     bad = ~jnp.all(jnp.isfinite(delta))
     delta = jnp.where(bad, 0.0, delta)
+    # trust-region style guard: clamp outsized steps (GN can overshoot
+    # along weakly-observable inertial directions)
+    step_norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    delta = delta * jnp.minimum(1.0, 3.0 / jnp.maximum(step_norm, 1e-9))
 
     # ---- back-substitute landmarks (6-dof part only) ---------------------
     dp6 = delta[:, :6]
