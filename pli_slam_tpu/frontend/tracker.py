@@ -345,6 +345,76 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
     return kstore, pstore, lstore
 
 
+def local_inertial_ba(
+    cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore,
+    lstore: st.LineStore, window: jax.Array, fixed: jax.Array,
+    preint_chain, imu_mask: jax.Array, gravity_w: jax.Array,
+):
+    """Visual-inertial windowed BA over a temporal keyframe window.
+
+    (reference: Optimizer::LocalInertialBA, src/Optimizer.cc:4547 —
+    temporal window chained by mPrevKF EdgeInertial factors; here the
+    chain factors are the composed per-keyframe preintegrations and the
+    whole 15-dof-per-pose Schur solve is one device program.)
+    """
+    from pli_slam_tpu.solve import vi_ba as vib
+
+    W = window.shape[0]
+    S = kstore.obs_pt.shape[1]
+    Sl = kstore.obs_ln.shape[1]
+    win_valid = kstore.valid[window]
+    dup = jnp.any(
+        (window[:, None] == window[None, :])
+        & (jnp.arange(W)[None, :] < jnp.arange(W)[:, None]),
+        axis=1,
+    )
+    row_ok = win_valid & ~dup
+    po_pose = jnp.repeat(jnp.arange(W, dtype=jnp.int32), S)
+    po_pt = kstore.obs_pt[window].reshape(-1)
+    base = ba_mod.BAProblem(
+        R=kstore.R[window],
+        t=kstore.t[window],
+        pose_mask=win_valid,
+        fixed_mask=fixed | ~win_valid,
+        pts=pstore.x,
+        pt_mask=pstore.valid,
+        lns=lstore.seg,
+        ln_mask=lstore.valid,
+        po_pose=po_pose,
+        po_pt=po_pt,
+        po_uvr=kstore.obs_uvr[window].reshape(-1, 3),
+        po_stereo=kstore.obs_stereo[window].reshape(-1),
+        po_sigma2=kstore.obs_sigma2[window].reshape(-1),
+        po_mask=(po_pt >= 0) & jnp.repeat(row_ok, S),
+        lo_pose=jnp.repeat(jnp.arange(W, dtype=jnp.int32), Sl),
+        lo_ln=kstore.obs_ln[window].reshape(-1),
+        lo_l=kstore.obs_l[window].reshape(-1, 3),
+        lo_sigma2=kstore.obs_ln_sigma2[window].reshape(-1),
+        lo_mask=(kstore.obs_ln[window].reshape(-1) >= 0) & jnp.repeat(row_ok, Sl),
+    )
+    prob = vib.VIBAProblem(
+        base=base,
+        v=kstore.v_w[window],
+        bg=kstore.bg[window],
+        ba=kstore.ba[window],
+        preint=preint_chain,
+        imu_mask=imu_mask & row_ok[1:] & row_ok[:-1],
+        gravity_w=gravity_w,
+    )
+    R, t, v, bg, ba_, pts, lns = vib.solve_vi_ba(cam, prob, cfg.opt, cfg.imu)
+    kstore = dataclasses.replace(
+        kstore,
+        R=kstore.R.at[window].set(R),
+        t=kstore.t.at[window].set(t),
+        v_w=kstore.v_w.at[window].set(v),
+        bg=kstore.bg.at[window].set(bg),
+        ba=kstore.ba.at[window].set(ba_),
+    )
+    pstore = dataclasses.replace(pstore, x=pts)
+    lstore = dataclasses.replace(lstore, seg=lns)
+    return kstore, pstore, lstore
+
+
 def track_step_inertial(
     cam, cfg: SlamConfig, frame: FrameData, preint, prev_state, init_state,
     gravity_w, pstore: st.PointStore, lstore: st.LineStore,
@@ -455,6 +525,10 @@ class Tracker:
         self.last_preint = None
         self._imu_history: list = []  # (preint, R_wb_visual) pairs for init
         self._first_imu_stamp = None
+        # per-keyframe preintegration chain: _kf_preints[k] spans KF k-1 -> k
+        # (reference mpImuPreintegratedFromLastKF, src/Tracking.cc:3599)
+        self._preint_since_kf = None
+        self._kf_preints: dict[int, object] = {}
         if self.use_imu:
             from pli_slam_tpu.ops import imu as imu_ops
 
@@ -464,7 +538,9 @@ class Tracker:
                 return imu_ops.preintegrate(gyro, acc, dts, mask, bg, ba, cfg.imu)
 
             self._preintegrate = jax.jit(_preint)
+            self._compose_preint = jax.jit(imu_ops.compose)
             self._track_inertial = jax.jit(partial(track_step_inertial, cam, cfg))
+            self._vi_ba = jax.jit(partial(local_inertial_ba, cam, cfg))
             self._imu_pad = Timu
 
     # -- pose helpers ------------------------------------------------------
@@ -505,6 +581,14 @@ class Tracker:
             jnp.asarray(g), jnp.asarray(a), jnp.asarray(dts), jnp.asarray(mask),
             self.bg, self.ba,
         )
+        # accumulate the per-keyframe chain factor (reference keeps a second
+        # accumulator mpImuPreintegratedFromLastKF, src/Tracking.cc:1142)
+        if self._preint_since_kf is None:
+            self._preint_since_kf = self.last_preint
+        else:
+            self._preint_since_kf = self._compose_preint(
+                self._preint_since_kf, self.last_preint
+            )
 
     def _try_imu_init(self):
         """Gravity + gyro-bias initialization from the frame history.
@@ -567,6 +651,8 @@ class Tracker:
         self.vel_xi = None
         self._lost_frames = 0
         self.frames_since_kf = 0
+        self._preint_since_kf = None
+        self._kf_preints = {}
         if self.loop_closer is not None:
             from pli_slam_tpu.frontend.loop_closing import LoopCloser
 
@@ -777,6 +863,11 @@ class Tracker:
                 bg=self.kstore.bg.at[k].set(self.bg),
                 ba=self.kstore.ba.at[k].set(self.ba),
             )
+            # snapshot the chain factor KF(k-1) -> KF(k) and reset the
+            # accumulator (reference Tracking.cc:3599-3602)
+            if k > 0 and self._preint_since_kf is not None:
+                self._kf_preints[k] = self._preint_since_kf
+            self._preint_since_kf = None
         self.n_kf += 1
         # windowed BA over the last W keyframes (first two fixed for gauge)
         W = self.cfg.opt.local_ba_window
@@ -791,10 +882,38 @@ class Tracker:
             if window[i] <= window[i - 1]:
                 fixed[i] = True
         if self.n_kf >= 3:
-            self.kstore, self.pstore, self.lstore = self._ba(
-                self.kstore, self.pstore, self.lstore,
-                jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
-            )
+            inertial_ba = self.use_imu and self.imu_ready and self.gravity_w is not None
+            if inertial_ba:
+                from pli_slam_tpu.ops import imu as imu_ops
+
+                chain = []
+                imu_mask = np.zeros(W - 1, bool)
+                for i in range(W - 1):
+                    p = (
+                        self._kf_preints.get(int(window[i + 1]))
+                        if window[i + 1] == window[i] + 1
+                        else None
+                    )
+                    if p is not None:
+                        chain.append(p)
+                        imu_mask[i] = True
+                    else:
+                        chain.append(imu_ops.Preintegrated.identity())
+                stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chain)
+                self.kstore, self.pstore, self.lstore = self._vi_ba(
+                    self.kstore, self.pstore, self.lstore,
+                    jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
+                    stacked, jnp.asarray(imu_mask), self.gravity_w,
+                )
+                k = self.n_kf - 1
+                self.v_w = self.kstore.v_w[k]
+                self.bg = self.kstore.bg[k]
+                self.ba = self.kstore.ba[k]
+            else:
+                self.kstore, self.pstore, self.lstore = self._ba(
+                    self.kstore, self.pstore, self.lstore,
+                    jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
+                )
             # tracking pose continues from the refined latest KF
             k = self.n_kf - 1
             self.R = self.kstore.R[k]

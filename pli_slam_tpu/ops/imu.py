@@ -150,6 +150,56 @@ def delta_position(p: Preintegrated, bg: jax.Array, ba: jax.Array) -> jax.Array:
     return p.dP + lie._einsum("ij,j->i", p.JPg, bg - p.bg) + lie._einsum("ij,j->i", p.JPa, ba - p.ba)
 
 
+def compose(a: Preintegrated, b: Preintegrated) -> Preintegrated:
+    """Merge two consecutive preintegrations (a, then b) into one.
+
+    First-order exact in noise and bias: b's deltas are corrected to a's
+    linearization bias via its own bias Jacobians, then chained. The
+    reference instead stores the raw measurement stream and re-integrates
+    (`IMU::Preintegrated::MergePrevious` / `Reintegrate`,
+    src/ImuTypes.cc:226-253); composition gives the per-keyframe
+    accumulator without keeping raw samples or a dynamic-length scan.
+
+    Error-state convention matches `preintegrate`'s (phi, v, p) blocks
+    with right-multiplicative rotation error.
+    """
+    dRb = delta_rotation(b, a.bg)
+    dVb = delta_velocity(b, a.bg, a.ba)
+    dPb = delta_position(b, a.bg, a.ba)
+    dtb = b.dt
+    dR = lie._mm(a.dR, dRb)
+    dV = a.dV + lie._einsum("ij,j->i", a.dR, dVb)
+    dP = a.dP + a.dV * dtb + lie._einsum("ij,j->i", a.dR, dPb)
+
+    hVb = lie.hat(dVb)
+    hPb = lie.hat(dPb)
+    JRg = lie._mm(dRb.T, a.JRg) + b.JRg
+    JVg = a.JVg - lie._mm(lie._mm(a.dR, hVb), a.JRg) + lie._mm(a.dR, b.JVg)
+    JVa = a.JVa + lie._mm(a.dR, b.JVa)
+    JPg = a.JPg + a.JVg * dtb - lie._mm(lie._mm(a.dR, hPb), a.JRg) + lie._mm(a.dR, b.JPg)
+    JPa = a.JPa + a.JVa * dtb + lie._mm(a.dR, b.JPa)
+
+    # covariance: T transports a's (phi, v, p) error across segment b;
+    # S rotates b's own error into the composite frame
+    I3 = jnp.eye(3)
+    T = jnp.zeros((9, 9))
+    T = T.at[0:3, 0:3].set(dRb.T)
+    T = T.at[3:6, 0:3].set(-lie._mm(a.dR, hVb))
+    T = T.at[3:6, 3:6].set(I3)
+    T = T.at[6:9, 0:3].set(-lie._mm(a.dR, hPb))
+    T = T.at[6:9, 3:6].set(I3 * dtb)
+    T = T.at[6:9, 6:9].set(I3)
+    S = jnp.zeros((9, 9))
+    S = S.at[0:3, 0:3].set(I3)
+    S = S.at[3:6, 3:6].set(a.dR)
+    S = S.at[6:9, 6:9].set(a.dR)
+    cov = lie._mm(lie._mm(T, a.cov), T.T) + lie._mm(lie._mm(S, b.cov), S.T)
+    return Preintegrated(
+        dt=a.dt + b.dt, dR=lie.normalize_rotation(dR), dV=dV, dP=dP, cov=cov,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa, bg=a.bg, ba=a.ba,
+    )
+
+
 def predict_state(
     Rwb0: jax.Array, vw0: jax.Array, pw0: jax.Array,
     p: Preintegrated, bg: jax.Array, ba: jax.Array, gravity=9.81,

@@ -116,3 +116,41 @@ def test_midpoint_samples_cover_interval():
     g, a, dts, m = imu.midpoint_samples(gyro, acc, stamps, jnp.float32(0.0), jnp.float32(0.045), mask)
     np.testing.assert_allclose(float(dts.sum()), 0.045, atol=1e-6)
     assert bool(m.all())
+
+
+def test_compose_matches_full_integration():
+    """compose(first half, second half) == integrating the whole stream."""
+    rng = np.random.default_rng(3)
+    T, dt = 60, 0.005
+    gyro = rng.normal(0, 0.8, (T, 3))
+    acc = rng.normal(0, 2.0, (T, 3)) + np.array([0.0, 0.0, G])
+    full = _integrate(gyro, acc, dt)
+    a = _integrate(gyro[:30], acc[:30], dt)
+    b = _integrate(gyro[30:], acc[30:], dt)
+    c = imu.compose(a, b)
+    np.testing.assert_allclose(c.dt, full.dt, atol=1e-6)
+    np.testing.assert_allclose(c.dR, full.dR, atol=1e-5)
+    np.testing.assert_allclose(c.dV, full.dV, atol=1e-4)
+    np.testing.assert_allclose(c.dP, full.dP, atol=1e-4)
+    for f in ("JRg", "JVg", "JVa", "JPg", "JPa"):
+        np.testing.assert_allclose(
+            getattr(c, f), getattr(full, f), atol=2e-4, err_msg=f
+        )
+    np.testing.assert_allclose(c.cov, full.cov, atol=1e-8, rtol=1e-2)
+
+
+def test_compose_corrects_second_segment_bias():
+    """b integrated at a different bias is first-order corrected to a's."""
+    rng = np.random.default_rng(5)
+    T, dt = 40, 0.005
+    gyro = rng.normal(0, 0.5, (T, 3))
+    acc = rng.normal(0, 1.0, (T, 3)) + np.array([0.0, 0.0, G])
+    bg = jnp.asarray([0.002, -0.001, 0.003])
+    ba = jnp.asarray([0.01, 0.02, -0.015])
+    a = _integrate(gyro[:20], acc[:20], dt, bg=bg, ba=ba)
+    b_off = _integrate(gyro[20:], acc[20:], dt)  # zero-bias linearization
+    c = imu.compose(a, b_off)
+    full = _integrate(gyro, acc, dt, bg=bg, ba=ba)
+    np.testing.assert_allclose(c.dR, full.dR, atol=1e-4)
+    np.testing.assert_allclose(c.dV, full.dV, atol=2e-3)
+    np.testing.assert_allclose(c.dP, full.dP, atol=2e-3)
