@@ -72,6 +72,85 @@ def build_frame(cam: Camera, cfg: SlamConfig, img_l: jax.Array, img_r: jax.Array
     )
 
 
+def _empty_lines(cfg: SlamConfig) -> LineFeatures:
+    nl = cfg.lines.n_lines
+    return LineFeatures(
+        p0=jnp.zeros((nl, 2)), p1=jnp.zeros((nl, 2)), angle=jnp.zeros(nl),
+        length=jnp.zeros(nl), response=jnp.zeros(nl),
+        desc=jnp.zeros((nl, 256), jnp.int8), valid=jnp.zeros(nl, bool),
+    )
+
+
+def _sample_depth(depth_img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Nearest-neighbor depth lookup at (possibly sub-pixel) keypoints."""
+    h, w = depth_img.shape
+    ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
+    vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
+    return depth_img[vi, ui]
+
+
+def build_frame_rgbd(cam: Camera, cfg: SlamConfig, img: jax.Array, depth_img: jax.Array) -> FrameData:
+    """RGB-D frame: depth sampled at features becomes a virtual right
+    coordinate u_r = u - bf/d, exactly the reference's
+    `ComputeStereoFromRGBD` trick (src/Frame.cc RGB-D ctor :231), so the
+    whole stereo tracking/BA machinery applies unchanged."""
+    fl = orb.extract(img, cfg.orb)
+    d = _sample_depth(depth_img, fl.uv)
+    ok = fl.valid & (d > 0.0)
+    d_safe = jnp.maximum(d, 1e-6)
+    u_r = jnp.where(ok, fl.uv[:, 0] - cam.bf / d_safe, -1.0)
+    depth = jnp.where(ok, d, -1.0)
+
+    if cfg.use_lines:
+        ll = line_ops.detect(img, cfg.lines)
+        d0 = _sample_depth(depth_img, ll.p0)
+        d1 = _sample_depth(depth_img, ll.p1)
+        lok = ll.valid & (d0 > 0.0) & (d1 > 0.0)
+        line_disp = jnp.stack(
+            [cam.bf / jnp.maximum(d0, 1e-6), cam.bf / jnp.maximum(d1, 1e-6)], axis=-1
+        )
+        line_disp = jnp.where(lok[:, None], line_disp, 0.0)
+    else:
+        ll = _empty_lines(cfg)
+        line_disp = jnp.zeros((cfg.lines.n_lines, 2))
+        lok = jnp.zeros(cfg.lines.n_lines, bool)
+
+    return FrameData(
+        feats=fl, u_right=u_r, stereo_ok=ok, depth=depth,
+        lines=ll, line_disp=line_disp, line_ok=lok, sigma2=fl.scale ** 2,
+    )
+
+
+def build_frame_mono(cam: Camera, cfg: SlamConfig, img: jax.Array) -> FrameData:
+    """Monocular frame: no stereo/depth channel (reference mono ctor
+    src/Frame.cc:334). Depth for landmark creation comes later from
+    two-view initialization / triangulation against the last keyframe."""
+    fl = orb.extract(img, cfg.orb)
+    n = fl.uv.shape[0]
+    if cfg.use_lines:
+        ll = line_ops.detect(img, cfg.lines)
+    else:
+        ll = _empty_lines(cfg)
+    return FrameData(
+        feats=fl,
+        u_right=jnp.full(n, -1.0),
+        stereo_ok=jnp.zeros(n, bool),
+        depth=jnp.full(n, -1.0),
+        lines=ll,
+        line_disp=jnp.zeros((cfg.lines.n_lines, 2)),
+        line_ok=jnp.zeros(cfg.lines.n_lines, bool),
+        sigma2=fl.scale ** 2,
+    )
+
+
 def make_build_frame(cam: Camera, cfg: SlamConfig):
     """Jitted frame builder with camera/config closed over."""
     return jax.jit(partial(build_frame, cam, cfg))
+
+
+def make_build_frame_rgbd(cam: Camera, cfg: SlamConfig):
+    return jax.jit(partial(build_frame_rgbd, cam, cfg))
+
+
+def make_build_frame_mono(cam: Camera, cfg: SlamConfig):
+    return jax.jit(partial(build_frame_mono, cam, cfg))

@@ -69,6 +69,7 @@ def apply_loop_correction(
     kf_loop: int,
     R_rel, t_rel,  # verified relative transform: maps current-region world
     cfg: SlamConfig,
+    inertial: bool = False,
 ):
     """Essential-graph correction + landmark re-anchoring.
 
@@ -102,7 +103,10 @@ def apply_loop_correction(
         fixed_mask=jnp.zeros(K, bool).at[kf_loop].set(True) | ~valid,
         e_i=e_i, e_j=e_j, e_R=e_R, e_t=e_t, e_s=e_s, e_weight=e_w, e_mask=e_mask,
     )
-    out = pgo.optimize(graph, iters=cfg.opt.pgo_iters, se3=True)
+    # inertial maps are gravity-aligned: only yaw + translation may move
+    # (reference dispatch at LoopClosing.cc:1062 — OptimizeEssentialGraph4DoF
+    # when IMU is initialized, 6-DoF otherwise)
+    out = pgo.optimize(graph, iters=cfg.opt.pgo_iters, mode="4dof" if inertial else "se3")
 
     # landmark re-anchoring: X' = T_wc_new(k) T_cw_old(k) X, k = last_kf
     R_old, t_old = kstore.R, kstore.t
@@ -211,10 +215,21 @@ class LoopCloser:
         if int(n_in) < cfg.loop.sim3_min_inliers:
             return False
 
+        inertial = bool(getattr(tracker, "imu_ready", False))
         tracker.kstore, tracker.pstore, tracker.lstore = apply_loop_correction(
             tracker.kstore, tracker.pstore, tracker.lstore,
             tracker.n_kf, kf_slot, best, R_rel, t_rel, cfg,
+            inertial=inertial,
         )
+        # global BA refines the whole corrected map (reference: the
+        # transient RunGlobalBundleAdjustment thread, LoopClosing.cc:1087,
+        # :2243-2391; here one synchronous Schur program over all KFs)
+        if cfg.loop.run_gba:
+            from pli_slam_tpu.frontend import tracker as trk
+
+            tracker.kstore, tracker.pstore, tracker.lstore = trk.global_ba(
+                tracker.cam, cfg, tracker.kstore, tracker.pstore, tracker.lstore
+            )
         # tracking continues from the corrected keyframe pose
         tracker.R = tracker.kstore.R[kf_slot]
         tracker.t = tracker.kstore.t[kf_slot]

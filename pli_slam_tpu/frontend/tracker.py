@@ -162,15 +162,17 @@ def insert_keyframe(
     R_wc = R.T
     t_wc = -lie._einsum("ij,j->i", R.T, t)
 
-    # ---- new point landmarks from unmatched stereo features ------------
+    # ---- new point landmarks from unmatched features with depth ---------
     # The reference gates close-point creation at mThDepth=40*baseline and
     # relies on LocalMapping triangulation for far points; until the
     # triangulation stage exists, allow deeper stereo landmarks.
-    max_depth = 120.0 * cam.bf / cam.fx
-    depth_ok = frame.stereo_ok & (frame.depth > 0) & (frame.depth < max_depth)
+    # Depth is the creation channel for every sensor: stereo disparity,
+    # RGB-D lookup, or mono triangulation against the last keyframe (the
+    # mono path carries bf=0, where no depth cap applies).
+    max_depth = jnp.where(cam.bf > 0, 120.0 * cam.bf / cam.fx, jnp.inf)
+    depth_ok = (frame.depth > 0) & (frame.depth < max_depth)
     want_new = frame.feats.valid & depth_ok & ~(pt_in & (pt_idx >= 0))
-    disparity = frame.feats.uv[:, 0] - frame.u_right
-    x_c = cam_ops.back_project_stereo(cam, frame.feats.uv, disparity)
+    x_c = cam_ops.unproject(cam, frame.feats.uv) * frame.depth[:, None]
     x_w = lie._einsum("ij,nj->ni", R_wc, x_c) + t_wc
 
     # ---- fuse-before-create (reference ORBmatcher::Fuse semantics) ------
@@ -295,7 +297,7 @@ def insert_keyframe(
     return pstore, lstore, kstore, n_new
 
 
-def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore, window: jax.Array, fixed: jax.Array):
+def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore, window: jax.Array, fixed: jax.Array, iters: int | None = None):
     """Windowed BA over `window` (int32 [W] KF slots). Updates stores.
 
     (reference: LocalMapping -> Optimizer::LocalBundleAdjustment :1864;
@@ -334,7 +336,7 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
         lo_sigma2=kstore.obs_ln_sigma2[window].reshape(-1),
         lo_mask=(kstore.obs_ln[window].reshape(-1) >= 0) & jnp.repeat(row_ok, Sl),
     )
-    result = ba_mod.solve_ba(cam, prob, cfg.opt, iters=cfg.opt.local_ba_iters)
+    result = ba_mod.solve_ba(cam, prob, cfg.opt, iters=cfg.opt.local_ba_iters if iters is None else iters)
     kstore = dataclasses.replace(
         kstore,
         R=kstore.R.at[window].set(result.R),
@@ -415,6 +417,22 @@ def local_inertial_ba(
     return kstore, pstore, lstore
 
 
+def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore):
+    """Full-map bundle adjustment over every valid keyframe.
+
+    (reference: Optimizer::GlobalBundleAdjustemnt -> BundleAdjustment,
+    src/Optimizer.cc:56/:63, launched from
+    LoopClosing::RunGlobalBundleAdjustment :2243 after a loop closure;
+    budget 10 iterations :2250. Here it is the same windowed Schur
+    program with the window = the whole keyframe store and only KF 0
+    held fixed.)
+    """
+    K = kstore.R.shape[0]
+    window = jnp.arange(K, dtype=jnp.int32)
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    return local_ba(cam, cfg, kstore, pstore, lstore, window, fixed, iters=cfg.opt.gba_iters)
+
+
 def track_step_inertial(
     cam, cfg: SlamConfig, frame: FrameData, preint, prev_state, init_state,
     gravity_w, pstore: st.PointStore, lstore: st.LineStore,
@@ -459,6 +477,70 @@ def track_step_inertial(
     return st2, R2, t2, pt_idx, pt_in, ln_idx, ln_in, n, pstore, lstore
 
 
+def _mono_reconstruct(cam, cfg: SlamConfig, prev_frame: FrameData, frame: FrameData, key):
+    """Two-view monocular initialization between the stored first frame
+    and the current one (reference: MonocularInitialization,
+    src/Tracking.cc:2144 -> Pinhole::ReconstructWithTwoViews ->
+    TwoViewReconstruction::Reconstruct :39).
+
+    Returns (success, R, t (T_c2c1, median-depth-normalized), depth1 [N]
+    per-prev-feature triangulated depth in view 1, n_inliers).
+    """
+    from pli_slam_tpu.solve import twoview
+
+    dist = matching.hamming_matrix(prev_frame.feats.desc, frame.feats.desc)
+    idx, best, ok = matching.match_nn(
+        dist, prev_frame.feats.valid, frame.feats.valid,
+        max_dist=cfg.match.orb_th_low, ratio=0.9,
+    )
+    ok = matching.mutual_consistency(idx, ok, dist, prev_frame.feats.valid, frame.feats.valid)
+    uv1 = prev_frame.feats.uv
+    uv2 = frame.feats.uv[jnp.maximum(idx, 0)]
+    rec = twoview.reconstruct_two_views(cam, uv1, uv2, ok, key)
+    X = rec["points"]  # view-1 frame
+    inl = rec["inliers"]
+    # median-depth normalization (reference ReconstructF scales the map
+    # so the median scene depth is 1)
+    z = X[:, 2]
+    z_valid = jnp.where(inl & (z > 0), z, jnp.nan)
+    med = jnp.nanmedian(z_valid)
+    med = jnp.where(jnp.isfinite(med) & (med > 1e-6), med, 1.0)
+    scale = 1.0 / med
+    depth1 = jnp.where(inl & (z > 0), z * scale, -1.0)
+    return rec["success"], rec["R"], rec["t"] * scale, depth1, rec["n_inliers"]
+
+
+def _mono_triangulated_depths(
+    cam, cfg: SlamConfig, frame: FrameData, R, t,
+    kf_uv, kf_desc, kf_valid, R_kf, t_kf,
+):
+    """Synthesize a depth channel for a mono frame by triangulating its
+    unmatched features against the last keyframe's view (reference:
+    LocalMapping::CreateNewMapPoints epipolar triangulation,
+    src/LocalMapping.cc:343 — here one batched DLT + gate program).
+    Returns an updated per-feature depth [N] (current-camera z), -1
+    where triangulation failed.
+    """
+    from pli_slam_tpu.solve import triangulate as tri
+
+    dist = matching.hamming_matrix(frame.feats.desc, kf_desc)
+    idx, best, ok = matching.match_nn(
+        dist, frame.feats.valid, kf_valid, max_dist=cfg.match.orb_th_low, ratio=0.8
+    )
+    ok = matching.mutual_consistency(idx, ok, dist, frame.feats.valid, kf_valid)
+    uv1 = kf_uv[jnp.maximum(idx, 0)]
+    ray1 = cam_ops.unproject(cam, uv1)
+    ray2 = cam_ops.unproject(cam, frame.feats.uv)
+    X = tri.triangulate_dlt(R_kf, t_kf, R, t, ray1, ray2)
+    good = tri.triangulation_checks(
+        cam, R_kf, t_kf, R, t, X, uv1, frame.feats.uv,
+        frame.sigma2, frame.sigma2,
+    )
+    z = lie.se3_apply(R, t, X)[:, 2]
+    depth = jnp.where(ok & good & (z > 0.05), z, frame.depth)
+    return depth
+
+
 # ---------------------------------------------------------------------------
 # Host-side tracker
 # ---------------------------------------------------------------------------
@@ -484,6 +566,22 @@ class Tracker:
         self.cam = cam
         self.cfg = cfg
         self.build_frame = make_build_frame(cam, cfg)
+        self.is_mono = cfg.sensor.startswith("mono")
+        self.is_rgbd = cfg.sensor.startswith("rgbd")
+        if self.is_rgbd:
+            from pli_slam_tpu.frontend.frame import make_build_frame_rgbd
+
+            self.build_frame_rgbd = make_build_frame_rgbd(cam, cfg)
+        if self.is_mono:
+            from pli_slam_tpu.frontend.frame import make_build_frame_mono
+
+            self.build_frame_mono = make_build_frame_mono(cam, cfg)
+            self._mono_init_frame = None  # (FrameData, stamp) awaiting 2nd view
+            self._mono_reconstruct = jax.jit(
+                partial(_mono_reconstruct, cam, cfg), static_argnames=()
+            )
+            self._mono_depths = jax.jit(partial(_mono_triangulated_depths, cam, cfg))
+        self._last_kf_view = None  # (uv, desc, valid, R, t) of the last KF
         self._track = jax.jit(partial(track_step, cam, cfg))
         self._insert = jax.jit(partial(insert_keyframe, cam, cfg))
         self._ba = jax.jit(partial(local_ba, cam, cfg))
@@ -625,6 +723,32 @@ class Tracker:
             if t1 > t0:
                 self.v_w = jnp.asarray((p1 - p0) / (t1 - t0), jnp.float32)
         self.imu_ready = True
+        # Seed EVERY existing keyframe's inertial state (the reference's
+        # InitializeIMU sets velocities for all KFs, LocalMapping.cc:
+        # 1230-1240, before FullInertialBA). Without this the first
+        # LocalInertialBA window contains valid preintegration factors
+        # against zero velocities and the solver dumps the inconsistency
+        # into the biases.
+        if self.n_kf >= 2:
+            ks = self.kstore
+            n = self.n_kf
+            R_k = np.asarray(ks.R[:n])
+            t_k = np.asarray(ks.t[:n])
+            p_k = -np.einsum("kij,kj->ki", R_k.transpose(0, 2, 1), t_k)
+            s_k = np.asarray(ks.stamp[:n])
+            v_k = np.zeros((n, 3), np.float32)
+            for k in range(n):
+                a = max(k - 1, 0)
+                b = min(k + 1, n - 1)
+                dt_ab = float(s_k[b] - s_k[a])
+                if dt_ab > 1e-6:
+                    v_k[k] = (p_k[b] - p_k[a]) / dt_ab
+            self.kstore = dataclasses.replace(
+                ks,
+                v_w=ks.v_w.at[:n].set(jnp.asarray(v_k)),
+                bg=ks.bg.at[:n].set(jnp.broadcast_to(self.bg, (n, 3))),
+                ba=ks.ba.at[:n].set(jnp.broadcast_to(self.ba, (n, 3))),
+            )
 
     def _body_state(self):
         from pli_slam_tpu.solve import inertial as inr
@@ -653,6 +777,9 @@ class Tracker:
         self.frames_since_kf = 0
         self._preint_since_kf = None
         self._kf_preints = {}
+        self._last_kf_view = None
+        if self.is_mono:
+            self._mono_init_frame = None
         if self.loop_closer is not None:
             from pli_slam_tpu.frontend.loop_closing import LoopCloser
 
@@ -716,12 +843,28 @@ class Tracker:
             self.kstore, valid=self.kstore.valid.at[lo:hi].set(self.kstore.valid[lo:hi] & ~cull)
         )
 
-    # -- main entry --------------------------------------------------------
+    # -- main entries ------------------------------------------------------
     def process(self, img_l, img_r, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
+        """Stereo / stereo-inertial frame (reference System::TrackStereo)."""
         frame = self.build_frame(jnp.asarray(img_l), jnp.asarray(img_r))
+        return self._process_frame(frame, stamp, allow_mapping, imu)
+
+    def process_rgbd(self, img, depth, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
+        """RGB-D frame (reference System::TrackRGBD, src/System.h:112)."""
+        frame = self.build_frame_rgbd(jnp.asarray(img), jnp.asarray(depth))
+        return self._process_frame(frame, stamp, allow_mapping, imu)
+
+    def process_mono(self, img, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
+        """Monocular / mono-inertial frame (reference System::TrackMonocular)."""
+        frame = self.build_frame_mono(jnp.asarray(img))
+        return self._process_frame(frame, stamp, allow_mapping, imu)
+
+    def _process_frame(self, frame: FrameData, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         if self.use_imu and imu is not None:
             self._ingest_imu(imu, stamp)
         if self.state == TrackingState.NOT_INITIALIZED:
+            if self.is_mono:
+                return self._initialize_mono(frame, stamp)
             return self._initialize(frame, stamp)
 
         inertial_mode = self.use_imu and self.imu_ready and self.last_preint is not None
@@ -850,7 +993,77 @@ class Tracker:
         self.stats.append(info)
         return info
 
+    def _initialize_mono(self, frame: FrameData, stamp: float) -> dict:
+        """Two-view monocular bootstrapping (reference
+        MonocularInitialization, src/Tracking.cc:2079-2282): hold the
+        first well-featured frame, reconstruct against the next frame
+        that yields enough inliers, spawn KF0+KF1 and the initial map."""
+        def _info(n_inl=0, n_new=0):
+            info = {
+                "state": self.state, "n_inliers": int(n_inl), "n_kf": self.n_kf,
+                "n_points": int(self.pstore.valid.sum()),
+                "n_lines": int(self.lstore.valid.sum()), "new_landmarks": int(n_new),
+            }
+            self.stats.append(info)
+            return info
+
+        n_feat = int(frame.feats.valid.sum())
+        if self._mono_init_frame is None:
+            if n_feat >= self.cfg.tracking.min_init_features:
+                self._mono_init_frame = (frame, stamp)
+            self._record(stamp)
+            return _info()
+        prev, prev_stamp = self._mono_init_frame
+        okf, R, t, depth1, n_inl = self._mono_reconstruct(
+            prev, frame, jax.random.PRNGKey(len(self.trajectory) + 1)
+        )
+        if not bool(okf):
+            # re-anchor on the current frame (the reference resets the
+            # initializer when reconstruction fails, Tracking.cc:2127)
+            if n_feat >= self.cfg.tracking.min_init_features:
+                self._mono_init_frame = (frame, stamp)
+            self._record(stamp)
+            return _info(n_inl)
+
+        # KF0 = the anchor frame at the origin, landmarks from the
+        # median-depth-normalized triangulation
+        prev_d = dataclasses.replace(prev, depth=depth1)
+        neg = jnp.full(prev.feats.uv.shape[0], -1, jnp.int32)
+        negl = jnp.full(prev.lines.angle.shape[0], -1, jnp.int32)
+        f_mask = jnp.zeros(prev.feats.uv.shape[0], bool)
+        l_mask = jnp.zeros(prev.lines.angle.shape[0], bool)
+        self.pstore, self.lstore, self.kstore, n_new0 = self._insert(
+            prev_d, jnp.eye(3), jnp.zeros(3), prev_stamp, neg, f_mask, negl, l_mask, 0,
+            self.pstore, self.lstore, self.kstore,
+        )
+        self.n_kf = 1
+        self._last_kf_view = (
+            prev.feats.uv, prev.feats.desc, prev.feats.valid, jnp.eye(3), jnp.zeros(3)
+        )
+        self._mono_init_frame = None
+        self.state = TrackingState.OK
+
+        # the current frame tracks the fresh map from the reconstructed
+        # pose and becomes KF1
+        (R2, t2, pt_idx, pt_in, ln_idx, ln_in, n_in, self.pstore, self.lstore) = self._track(
+            frame, R, t, self.pstore, self.lstore
+        )
+        self.R_prev, self.t_prev = jnp.eye(3), jnp.zeros(3)
+        self.R, self.t = R2, t2
+        self._update_motion_model()
+        n_new = self._create_keyframe(frame, stamp, pt_idx, pt_in, ln_idx, ln_in)
+        self.last_kf_inliers = int(n_in) + n_new
+        self.frames_since_kf = 0
+        self._record(stamp)
+        return _info(n_in, n_new0 + n_new)
+
     def _create_keyframe(self, frame, stamp, pt_idx, pt_in, ln_idx, ln_in) -> int:
+        if self.is_mono and self._last_kf_view is not None:
+            # mono has no depth channel: triangulate new landmarks against
+            # the last keyframe's view before insertion
+            uvk, desck, validk, Rk, tk = self._last_kf_view
+            depth = self._mono_depths(frame, self.R, self.t, uvk, desck, validk, Rk, tk)
+            frame = dataclasses.replace(frame, depth=depth)
         self.pstore, self.lstore, self.kstore, n_new = self._insert(
             frame, self.R, self.t, stamp, pt_idx, pt_in, ln_idx, ln_in, self.n_kf,
             self.pstore, self.lstore, self.kstore,
@@ -918,6 +1131,9 @@ class Tracker:
             k = self.n_kf - 1
             self.R = self.kstore.R[k]
             self.t = self.kstore.t[k]
+        self._last_kf_view = (
+            frame.feats.uv, frame.feats.desc, frame.feats.valid, self.R, self.t
+        )
         if self.loop_closer is not None:
             self.loop_closer.detect_and_close(self.n_kf - 1, frame, self)
         self._cull_keyframes()

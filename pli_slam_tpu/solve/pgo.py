@@ -70,12 +70,47 @@ def _edge_residual_perturbed(xi_i, xi_j, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
     return _edge_residual(Ri2, ti2, si2, Rj2, tj2, sj2, Rm, tm, sm)
 
 
-def optimize(graph: PoseGraph, iters: int = 20, se3: bool = False, damping: float = 1e-6) -> PoseGraph:
+def _edge_residual_perturbed_right(xi_i, xi_j, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+    """Right-perturbed variant: S' = S ∘ exp(xi), i.e. the increment acts
+    in WORLD coordinates. Used by the 4-DoF (gravity-aligned) mode, where
+    the free rotation dof must be yaw about the world gravity axis."""
+    dRi, dti, dsi = lie.sim3_exp(xi_i)
+    dRj, dtj, dsj = lie.sim3_exp(xi_j)
+    Ri2, ti2, si2 = lie.sim3_compose(Ri, ti, si, dRi, dti, dsi)
+    Rj2, tj2, sj2 = lie.sim3_compose(Rj, tj, sj, dRj, dtj, dsj)
+    return _edge_residual(Ri2, ti2, si2, Rj2, tj2, sj2, Rm, tm, sm)
+
+
+def optimize(
+    graph: PoseGraph,
+    iters: int = 20,
+    se3: bool = False,
+    damping: float = 1e-6,
+    mode: str | None = None,
+) -> PoseGraph:
     """Run `iters` GN iterations (reference budget: optimize(20),
-    src/Optimizer.cc:2689). `se3=True` pins scales to their current
-    values (6-DoF essential graph)."""
+    src/Optimizer.cc:2689).
+
+    mode: "sim3" (7-DoF, reference OptimizeEssentialGraph :2437),
+    "se3" (6-DoF, scale pinned — :2755), or "4dof" (translation + yaw
+    about the world z/gravity axis, the inertial essential graph —
+    reference OptimizeEssentialGraph4DoF / Edge4DoF, Optimizer.cc:8247).
+    `se3=True` is a legacy alias for mode="se3".
+    """
+    if mode is None:
+        mode = "se3" if se3 else "sim3"
     K = graph.R.shape[0]
     dof = 7
+    # dofs pinned to zero update per mode (xi = [rho(3), phi(3), sigma])
+    if mode == "sim3":
+        pinned = ()
+    elif mode == "se3":
+        pinned = (6,)
+    elif mode == "4dof":
+        pinned = (3, 4, 6)  # phi_x, phi_y, sigma — free: rho, yaw
+    else:
+        raise ValueError(f"unknown pgo mode {mode!r}")
+    perturbed = _edge_residual_perturbed_right if mode == "4dof" else _edge_residual_perturbed
 
     zeros7 = jnp.zeros(7)
 
@@ -84,9 +119,9 @@ def optimize(graph: PoseGraph, iters: int = 20, se3: bool = False, damping: floa
         Rj, tj, sj = R[graph.e_j], t[graph.e_j], s[graph.e_j]
 
         def one(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
-            r = _edge_residual_perturbed(zeros7, zeros7, Ri, ti, si, Rj, tj, sj, Rm, tm, sm)
-            Ji = jax.jacfwd(lambda x: _edge_residual_perturbed(x, zeros7, Ri, ti, si, Rj, tj, sj, Rm, tm, sm))(zeros7)
-            Jj = jax.jacfwd(lambda x: _edge_residual_perturbed(zeros7, x, Ri, ti, si, Rj, tj, sj, Rm, tm, sm))(zeros7)
+            r = perturbed(zeros7, zeros7, Ri, ti, si, Rj, tj, sj, Rm, tm, sm)
+            Ji = jax.jacfwd(lambda x: perturbed(x, zeros7, Ri, ti, si, Rj, tj, sj, Rm, tm, sm))(zeros7)
+            Jj = jax.jacfwd(lambda x: perturbed(zeros7, x, Ri, ti, si, Rj, tj, sj, Rm, tm, sm))(zeros7)
             return r, Ji, Jj
 
         return jax.vmap(one)(Ri, ti, si, Rj, tj, sj, graph.e_R, graph.e_t, graph.e_s)
@@ -113,12 +148,12 @@ def optimize(graph: PoseGraph, iters: int = 20, se3: bool = False, damping: floa
         eye = jnp.eye(dof)
         H = H.at[jnp.arange(K), jnp.arange(K)].add((1.0 - free)[:, None, None] * eye + damping * eye)
         g = g * free[:, None]
-        if se3:
-            # pin the scale dof: identity row/col for component 6
-            H = H.at[:, :, 6, :].set(0.0)
-            H = H.at[:, :, :, 6].set(0.0)
-            H = H.at[jnp.arange(K), jnp.arange(K), 6, 6].set(1.0)
-            g = g.at[:, 6].set(0.0)
+        for d in pinned:
+            # pin dof d: identity row/col so its update is zero
+            H = H.at[:, :, d, :].set(0.0)
+            H = H.at[:, :, :, d].set(0.0)
+            H = H.at[jnp.arange(K), jnp.arange(K), d, d].set(1.0)
+            g = g.at[:, d].set(0.0)
 
         Hd = H.transpose(0, 2, 1, 3).reshape(K * dof, K * dof)
         delta = -jnp.linalg.solve(Hd, g.reshape(-1)).reshape(K, dof)
@@ -126,7 +161,10 @@ def optimize(graph: PoseGraph, iters: int = 20, se3: bool = False, damping: floa
         delta = jnp.where(bad, 0.0, delta)
 
         dR, dt, ds = lie.sim3_exp(delta)
-        R2, t2, s2 = lie.sim3_compose(dR, dt, ds, R, t, s)
+        if mode == "4dof":
+            R2, t2, s2 = lie.sim3_compose(R, t, s, dR, dt, ds)
+        else:
+            R2, t2, s2 = lie.sim3_compose(dR, dt, ds, R, t, s)
         return lie.normalize_rotation(R2), t2, s2
 
     R, t, s = jax.lax.fori_loop(0, iters, iteration, (graph.R, graph.t, graph.s))

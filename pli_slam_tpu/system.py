@@ -47,11 +47,34 @@ class System:
         Returns a per-frame info dict including the current pose estimate.
         """
         t0 = time.time()
-        if self.localization_only:
-            info = self.tracker.process(img_l, img_r, stamp, allow_mapping=False)
-        else:
-            info = self.tracker.process(img_l, img_r, stamp)
+        info = self.tracker.process(
+            img_l, img_r, stamp,
+            allow_mapping=not self.localization_only, imu=imu_batch,
+        )
         self._frame_times.append(time.time() - t0)
+        return self._with_pose(info)
+
+    def track_rgbd(self, img, depth, stamp: float, imu_batch=None) -> dict:
+        """Process one RGB-D frame (reference System::TrackRGBD,
+        src/System.h:112 — depth becomes a virtual right coordinate)."""
+        t0 = time.time()
+        info = self.tracker.process_rgbd(
+            img, depth, stamp, allow_mapping=not self.localization_only
+        )
+        self._frame_times.append(time.time() - t0)
+        return self._with_pose(info)
+
+    def track_monocular(self, img, stamp: float, imu_batch=None) -> dict:
+        """Process one monocular frame (+ optional IMU batch) (reference
+        System::TrackMonocular, src/System.h:118)."""
+        t0 = time.time()
+        info = self.tracker.process_mono(
+            img, stamp, allow_mapping=not self.localization_only, imu=imu_batch
+        )
+        self._frame_times.append(time.time() - t0)
+        return self._with_pose(info)
+
+    def _with_pose(self, info: dict) -> dict:
         _, R_wc, p_w = self.tracker.trajectory[-1]
         info = dict(info)
         info["R_wc"] = R_wc

@@ -133,6 +133,7 @@ class LoopConfig:
     consistency_kfs: int = 3  # >=3 consecutive KF hits (LoopClosing.cc:306)
     min_kf_gap: int = 12  # guard before attempting detection (LoopClosing.cc:259-278)
     bow_candidates: int = 3  # DetectNBestCandidates(3) (LoopClosing.cc:395)
+    run_gba: bool = True  # global BA after loop correction (LoopClosing.cc:1087)
     sim3_hypotheses: int = 256  # batched RANSAC hypotheses (replaces iterate())
     sim3_min_inliers: int = 20
     vocab_levels: int = 4

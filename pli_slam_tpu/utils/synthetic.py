@@ -56,8 +56,8 @@ def _texture(p: jax.Array) -> jax.Array:
     return jnp.where(grid, 15.0, base)
 
 
-def render_view(cam: Camera, R_wc: jax.Array, t_wc: jax.Array, room_half: float = ROOM_HALF) -> jax.Array:
-    """Ray-trace the room box from camera pose T_wc. Returns [H, W] float32."""
+def _trace_room(cam: Camera, R_wc: jax.Array, t_wc: jax.Array, room_half: float):
+    """Ray-trace the room box; returns (t_best [H,W] ray depth, p_hit [H,W,3])."""
     h, w = cam.height, cam.width
     us = (jnp.arange(w, dtype=jnp.float32) - cam.cx) / cam.fx
     vs = (jnp.arange(h, dtype=jnp.float32) - cam.cy) / cam.fy
@@ -86,10 +86,23 @@ def render_view(cam: Camera, R_wc: jax.Array, t_wc: jax.Array, room_half: float 
             )
             t_best = jnp.where(inside & (t_hit < t_best), t_hit, t_best)
     p_hit = o_w + t_best[..., None] * d_w
+    return t_best, p_hit
+
+
+def render_view(cam: Camera, R_wc: jax.Array, t_wc: jax.Array, room_half: float = ROOM_HALF) -> jax.Array:
+    """Ray-trace the room box from camera pose T_wc. Returns [H, W] float32."""
+    t_best, p_hit = _trace_room(cam, R_wc, t_wc, room_half)
     img = _texture(p_hit)
     # slight vignette/shading by distance for realism
     img = img * (1.0 - 0.015 * jnp.clip(t_best, 0.0, 12.0))
     return jnp.clip(img, 0.0, 255.0)
+
+
+def render_depth(cam: Camera, R_wc: jax.Array, t_wc: jax.Array, room_half: float = ROOM_HALF) -> jax.Array:
+    """Ground-truth camera-z depth map [H, W] (pinhole rays have z=1, so
+    the ray parameter IS the depth). 0 where no surface is hit."""
+    t_best, _ = _trace_room(cam, R_wc, t_wc, room_half)
+    return jnp.where(t_best < 1e8, t_best, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,11 +160,13 @@ def make_sequence(
     traj: Trajectory | None = None,
     imu_rate: float = 200.0,
     room_half: float = ROOM_HALF,
+    with_depth: bool = False,
 ):
     """Generator yielding per-frame dicts with stereo images, gt pose, imu batch."""
     traj = traj or Trajectory()
     baseline = float(cam.bf / cam.fx)
     render = jax.jit(partial(render_view, room_half=room_half))
+    render_d = jax.jit(partial(render_depth, room_half=room_half)) if with_depth else None
     n_imu = int(round(imu_rate / fps))
     for k in range(n_frames):
         t = k / fps
@@ -172,6 +187,7 @@ def make_sequence(
             "t": t,
             "img_l": img_l,
             "img_r": img_r,
+            **({"depth": render_d(cam, R_wc_j, p_w_j)} if with_depth else {}),
             "R_wc": np.asarray(R_wc, np.float32),
             "p_w": np.asarray(p_w, np.float32),
             "v_w": traj.velocity(t).astype(np.float32),
