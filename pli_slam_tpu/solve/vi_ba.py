@@ -5,7 +5,8 @@ src/Optimizer.cc:4547 — temporal window of <=10/25 keyframes chained by
 `mPrevKF` EdgeInertial factors + visual edges, solved by g2o). Here the
 per-pose state is 15-dof (T_cw twist ⊕ velocity ⊕ gyro bias ⊕ accel
 bias); landmarks are eliminated exactly as in solve/ba.py (they couple
-only to the 6-dof pose part), and the preintegration + bias-random-walk
+only to the 6-dof pose part — the shared `assemble_visual` produces the
+reduced camera system), and the preintegration + bias-random-walk
 factors between consecutive window keyframes add pose-pose blocks to
 the dense reduced system [15W, 15W] — still tiny (W<=10 -> 150^2).
 
@@ -72,77 +73,17 @@ def _imu_chain_residual(prob: VIBAProblem, R, t, v, bg, ba_, k, delta_i, delta_j
     return jnp.concatenate([r_imu, r_bg, r_ba])
 
 
-def vi_ba_iteration(cam, prob: VIBAProblem, R, t, v, bg, ba_, pts, lns, cfg: OptimizerConfig, imu_cfg: ImuConfig, damping):
-    base = dataclasses.replace(prob.base, R=R, t=t, pts=pts, lns=lns)
+def vi_ba_iteration(cam, prob: VIBAProblem, idx_p, idx_l, R, t, v, bg, ba_, pts, lns,
+                    cfg: OptimizerConfig, imu_cfg: ImuConfig, damping):
+    base = prob.base
     W = R.shape[0]
     D = 15
 
-    # ---- visual part (reuse ba.py linearization + assembly) -------------
-    r_p, Jp_p, Jl_p, ok_p = ba_mod._point_obs_linearize(cam, base, R, t, pts)
-    w_p, chi2_p = ba_mod._robust_weight(r_p, base.po_sigma2, ok_p, cfg.huber_stereo)
-    r_l, Jp_l, Jl_l, ok_l = ba_mod._line_obs_linearize(cam, base, R, t, lns)
-    w_l, chi2_l = ba_mod._robust_weight(r_l, base.lo_sigma2, ok_l, cfg.huber_mono)
-
-    Sx = base.po_pt.shape[0] // W
-    Sl = base.lo_ln.shape[0] // W
-    P = pts.shape[0]
-    L = lns.shape[0]
-
-    blk_pp = jnp.einsum("nia,n,nib->nab", Jp_p, w_p, Jp_p, precision=_HI).reshape(W, Sx, 6, 6)
-    blk_gp = jnp.einsum("nia,n,ni->na", Jp_p, w_p, r_p, precision=_HI).reshape(W, Sx, 6)
-    blk_pp_l = jnp.einsum("nia,n,nib->nab", Jp_l, w_l, Jp_l, precision=_HI).reshape(W, Sl, 6, 6)
-    blk_gp_l = jnp.einsum("nia,n,ni->na", Jp_l, w_l, r_l, precision=_HI).reshape(W, Sl, 6)
-    Hpp6 = blk_pp.sum(1) + blk_pp_l.sum(1)
-    gp6 = blk_gp.sum(1) + blk_gp_l.sum(1)
-
-    def rowwise_scatter(capacity, idx_2d, blocks_2d):
-        n_rows, n_slots = idx_2d.shape
-        acc = jnp.zeros((capacity + n_slots,) + blocks_2d.shape[2:], blocks_2d.dtype)
-        spill = capacity + jnp.arange(n_slots, dtype=jnp.int32)
-        for k in range(n_rows):
-            safe = jnp.where(idx_2d[k] >= 0, idx_2d[k], spill)
-            acc = acc.at[safe].add(blocks_2d[k], unique_indices=True)
-        return acc[:capacity]
-
-    def rowwise_scatter_per_pose(capacity, idx_2d, blocks_2d):
-        n_rows, n_slots = idx_2d.shape
-        acc = jnp.zeros((capacity + n_slots, n_rows) + blocks_2d.shape[2:], blocks_2d.dtype)
-        spill = capacity + jnp.arange(n_slots, dtype=jnp.int32)
-        for k in range(n_rows):
-            safe = jnp.where(idx_2d[k] >= 0, idx_2d[k], spill)
-            acc = acc.at[safe, k].add(blocks_2d[k], unique_indices=True)
-        return acc[:capacity]
-
-    po_pt_2d = base.po_pt.reshape(W, Sx)
-    lo_ln_2d = base.lo_ln.reshape(W, Sl)
-    Hll_p = rowwise_scatter(P, po_pt_2d, jnp.einsum("nia,n,nib->nab", Jl_p, w_p, Jl_p, precision=_HI).reshape(W, Sx, 3, 3))
-    gl_p = rowwise_scatter(P, po_pt_2d, jnp.einsum("nia,n,ni->na", Jl_p, w_p, r_p, precision=_HI).reshape(W, Sx, 3))
-    Wb_p = rowwise_scatter_per_pose(P, po_pt_2d, jnp.einsum("nia,n,nib->nab", Jp_p, w_p, Jl_p, precision=_HI).reshape(W, Sx, 6, 3))
-    Hll_l = rowwise_scatter(L, lo_ln_2d, jnp.einsum("nia,n,nib->nab", Jl_l, w_l, Jl_l, precision=_HI).reshape(W, Sl, 6, 6))
-    gl_l = rowwise_scatter(L, lo_ln_2d, jnp.einsum("nia,n,ni->na", Jl_l, w_l, r_l, precision=_HI).reshape(W, Sl, 6))
-    Wb_l = rowwise_scatter_per_pose(L, lo_ln_2d, jnp.einsum("nia,n,nib->nab", Jp_l, w_l, Jl_l, precision=_HI).reshape(W, Sl, 6, 6))
-
-    eye3 = jnp.eye(3)
-    eye6 = jnp.eye(6)
-    active_p = base.pt_mask & (jnp.diagonal(Hll_p, axis1=1, axis2=2).sum(-1) > 1e-10)
-    active_l = base.ln_mask & (jnp.diagonal(Hll_l, axis1=1, axis2=2).sum(-1) > 1e-10)
-    Hll_p_d = Hll_p + damping * eye3
-    seg_dir = lns[:, 3:] - lns[:, :3]
-    u = seg_dir / jnp.maximum(jnp.linalg.norm(seg_dir, axis=-1, keepdims=True), 1e-6)
-    Dproj = jnp.einsum("la,lb->lab", u, u)
-    reg = jnp.diagonal(Hll_l, axis1=1, axis2=2).sum(-1) / 6.0 + 1.0
-    Dblk = jnp.zeros((L, 6, 6)).at[:, :3, :3].set(Dproj).at[:, 3:, 3:].set(Dproj)
-    Hll_l_d = Hll_l + damping * eye6 + reg[:, None, None] * Dblk
-    Hll_p_inv = jnp.where(active_p[:, None, None], jnp.linalg.inv(Hll_p_d + (~active_p)[:, None, None] * eye3), 0.0)
-    Hll_l_inv = jnp.where(active_l[:, None, None], jnp.linalg.inv(Hll_l_d + (~active_l)[:, None, None] * eye6), 0.0)
-
-    S6 = jnp.zeros((W, W, 6, 6))
-    S6 = S6.at[jnp.arange(W), jnp.arange(W)].add(Hpp6)
-    S6 = S6 - jnp.einsum("iwab,ibc,ivdc->wvad", Wb_p, Hll_p_inv, Wb_p, precision=_HI)
-    S6 = S6 - jnp.einsum("iwab,ibc,ivdc->wvad", Wb_l, Hll_l_inv, Wb_l, precision=_HI)
-    rhs6 = -gp6
-    rhs6 = rhs6 + jnp.einsum("iwab,ibc,ic->wa", Wb_p, Hll_p_inv, gl_p, precision=_HI)
-    rhs6 = rhs6 + jnp.einsum("iwab,ibc,ic->wa", Wb_l, Hll_l_inv, gl_l, precision=_HI)
+    # ---- visual part: shared scatter-free assembly from solve/ba.py -----
+    (S6, rhs6, (Hll_p_inv, gl_p, Wb_p, active_p), (Hll_l_inv, gl_l, Wb_l, active_l),
+     _cost, chi2_p, chi2_l) = ba_mod.assemble_visual(
+        cam, base, idx_p, idx_l, R, t, pts, lns, cfg, damping
+    )
 
     # ---- lift to the 15-dof system --------------------------------------
     S = jnp.zeros((W, W, D, D))
@@ -232,10 +173,8 @@ def vi_ba_iteration(cam, prob: VIBAProblem, R, t, v, bg, ba_, pts, lns, cfg: Opt
 
     # ---- back-substitute landmarks (6-dof part only) ---------------------
     dp6 = delta[:, :6]
-    rhs_lp = -gl_p - jnp.einsum("iwab,wa->ib", Wb_p, dp6, precision=_HI)
-    delta_pt = jnp.einsum("iab,ib->ia", Hll_p_inv, rhs_lp, precision=_HI)
-    rhs_ll = -gl_l - jnp.einsum("iwab,wa->ib", Wb_l, dp6, precision=_HI)
-    delta_ln = jnp.einsum("iab,ib->ia", Hll_l_inv, rhs_ll, precision=_HI)
+    delta_pt = ba_mod.back_substitute(Wb_p, Hll_p_inv, gl_p, dp6)
+    delta_ln = ba_mod.back_substitute(Wb_l, Hll_l_inv, gl_l, dp6)
     delta_pt = jnp.where(bad, 0.0, delta_pt)
     delta_ln = jnp.where(bad, 0.0, delta_ln)
 
@@ -254,10 +193,11 @@ def solve_vi_ba(cam, prob: VIBAProblem, cfg: OptimizerConfig, imu_cfg: ImuConfig
     """Fixed-iteration damped GN over the visual-inertial window."""
     iters = cfg.local_ba_iters if iters is None else iters
     damping = jnp.asarray(cfg.damping_init, jnp.float32)
+    idx_p, idx_l = ba_mod.prepare_indices(prob.base)
 
     def body(_, carry):
         R, t, v, bg, ba_, pts, lns = carry
-        return vi_ba_iteration(cam, prob, R, t, v, bg, ba_, pts, lns, cfg, imu_cfg, damping)
+        return vi_ba_iteration(cam, prob, idx_p, idx_l, R, t, v, bg, ba_, pts, lns, cfg, imu_cfg, damping)
 
     init = (prob.base.R, prob.base.t, prob.v, prob.bg, prob.ba, prob.base.pts, prob.base.lns)
     R, t, v, bg, ba_, pts, lns = jax.lax.fori_loop(0, iters, body, init)

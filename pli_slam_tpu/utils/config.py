@@ -95,6 +95,8 @@ class OptimizerConfig:
     huber_mono: float = 2.447  # sqrt(5.991) g2o delta for 2-dof chi2
     huber_stereo: float = 2.796  # sqrt(7.815) for 3-dof
     damping_init: float = 1e-4
+    ba_max_pose_step: float = 0.5  # per-iteration pose twist trust region
+    ba_max_landmark_step: float = 1.0  # per-iteration landmark step cap
 
 
 @dataclasses.dataclass(frozen=True)
