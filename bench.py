@@ -54,19 +54,25 @@ def main():
     jax.block_until_ready(frames[-1][0])
     log("bench: rendering done; warmup/compile")
 
+    # warmup: the first frames compile + trace every program variant
+    # (stereo init, fused step with and without the KF/BA/BoW branch);
+    # the measured region is the steady-state throughput that the 20 fps
+    # real-time gate constrains.
+    n_warm = min(12, n_frames // 3)
     tracker = Tracker(cam, cfg)
-    # warmup: compile every program variant (frame, track, insert, BA)
-    for i, (img_l, img_r, t, _) in enumerate(frames[:3]):
+    tracker.streaming = True  # real-time replay mode: lag-1 stats readout
+    for i, (img_l, img_r, t, _) in enumerate(frames[:n_warm]):
         tracker.process(img_l, img_r, t)
-        log(f"bench: warmup frame {i} done")
+    log("bench: warmup done; measuring")
 
     t0 = time.time()
-    for i, (img_l, img_r, t, _) in enumerate(frames[3:]):
+    for i, (img_l, img_r, t, _) in enumerate(frames[n_warm:]):
         tracker.process(img_l, img_r, t)
-        if i % 10 == 0:
+        if i % 20 == 0:
             log(f"bench: frame {i}")
+    tracker.positions()  # materialize the trajectory inside the timed region
     elapsed = time.time() - t0
-    fps = (n_frames - 3) / elapsed
+    fps = (n_frames - n_warm) / elapsed
 
     gt = np.stack([p for _, _, _, p in frames])
     est = tracker.positions()

@@ -31,32 +31,32 @@ from pli_slam_tpu.ops import lie, matching
 from pli_slam_tpu.solve import pgo, sim3
 from pli_slam_tpu.utils.config import SlamConfig
 from pli_slam_tpu.worldmap import stores as st
-from pli_slam_tpu.worldmap import vocab
-
 _HI = jax.lax.Precision.HIGHEST
 
 
 def match_kf_landmarks(
-    kstore: st.KeyFrameStore, pstore: st.PointStore, desc_table: jax.Array, kf_a, kf_b, max_dist=60.0
+    kstore: st.KeyFrameStore, pstore: st.PointStore, kf_a, kf_b, max_dist=60.0
 ):
-    """3D-3D correspondences between two keyframes' observed landmarks.
+    """3D-3D correspondences between two keyframes' observed landmarks,
+    matched through the landmarks' own distinctive descriptors in the
+    point store (the reference matches MapPoint::GetDescriptor() in
+    SearchByBoW for loop verification — no per-KF descriptor copy needed).
 
-    desc_table: [K, S, 256] int8 per-KF feature descriptors.
     Returns (x [S,3] world pts of a's landmarks, y [S,3] of b's matches,
     mask [S]).
     """
-    da = desc_table[kf_a]
-    db = desc_table[kf_b]
     ia = kstore.obs_pt[kf_a]
     ib = kstore.obs_pt[kf_b]
-    va = ia >= 0
-    vb = ib >= 0
+    va = (ia >= 0) & pstore.valid[jnp.maximum(ia, 0)]
+    vb = (ib >= 0) & pstore.valid[jnp.maximum(ib, 0)]
+    da = pstore.desc[jnp.maximum(ia, 0)]
+    db = pstore.desc[jnp.maximum(ib, 0)]
     dist = matching.hamming_matrix(da, db)
     idx, best, ok = matching.match_nn(dist, va, vb, max_dist=max_dist, ratio=0.9)
     ok = matching.mutual_consistency(idx, ok, dist, va, vb)
     xa = pstore.x[jnp.maximum(ia, 0)]
     xb = pstore.x[jnp.maximum(ib[idx], 0)]
-    ok = ok & pstore.valid[jnp.maximum(ia, 0)] & pstore.valid[jnp.maximum(ib[idx], 0)]
+    ok = ok & va & vb[idx]
     return xa, xb, ok
 
 
@@ -78,8 +78,18 @@ def apply_loop_correction(
     """
     K = kstore.R.shape[0]
     valid = kstore.valid
-    # chain edges from current estimates
+    # essential graph: sequential spanning-tree edges + covisibility edges
+    # (reference OptimizeEssentialGraph input set, src/Optimizer.cc:2437)
     ci, cj, cR, ct, cs, cmask = pgo.chain_edges(kstore.R, kstore.t, jnp.ones(K), valid)
+    vi, vj, vR, vt, vs, vmask = pgo.covis_edges(
+        kstore.R, kstore.t, jnp.ones(K), valid, kstore.covis
+    )
+    ci = jnp.concatenate([ci, vi])
+    cj = jnp.concatenate([cj, vj])
+    cR = jnp.concatenate([cR, vR])
+    ct = jnp.concatenate([ct, vt])
+    cs = jnp.concatenate([cs, vs])
+    cmask = jnp.concatenate([cmask, vmask])
     # loop edge: measured relative pose loop->cur. The verified Sim3 maps
     # world points of the current region onto the loop region: x_loop = S x_cur.
     # Constraint on poses: T_cur_corrected = T_cur ∘ S^-1 (points move by S),
@@ -94,7 +104,7 @@ def apply_loop_correction(
     e_R = jnp.concatenate([cR, Rm[None]])
     e_t = jnp.concatenate([ct, tm[None]])
     e_s = jnp.concatenate([cs, jnp.ones(1)])
-    e_w = jnp.concatenate([jnp.ones(K - 1), jnp.asarray([5.0])])
+    e_w = jnp.concatenate([jnp.ones(ci.shape[0]), jnp.asarray([5.0])])
     e_mask = jnp.concatenate([cmask, jnp.ones(1, bool)])
 
     graph = pgo.PoseGraph(
@@ -141,58 +151,36 @@ def apply_loop_correction(
 
 
 class LoopCloser:
-    """Host-side loop closing state machine attached to the tracker."""
+    """Host-side loop closing state machine.
 
-    def __init__(self, cfg: SlamConfig, kf_capacity: int):
+    Detection (BoW index + query) runs INSIDE the tracker's fused
+    per-frame program — the per-KF candidate arrives in the stats vector
+    for free. This class holds only the host-side rare-path logic: the
+    temporal-consistency counter (reference LoopClosing.cc:306) and, on
+    a confirmed hit, geometric verification + correction + global BA.
+    """
+
+    def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
-        self.voc_pt = vocab.Vocabulary(seed=17)
-        self.voc_ln = vocab.Vocabulary(seed=23)
-        self.db = vocab.BowDatabase.empty(kf_capacity, self.voc_pt.n_words)
-        self.desc_table = jnp.zeros((kf_capacity, 0, 256), jnp.int8)  # lazily sized
         self._consistent_with = -1
         self._consistency = 0
         self.n_loops_closed = 0
         self._last_closed_kf = -10 ** 9
-        self._bow = jax.jit(
-            lambda d, v, dl, vl: (self.voc_pt.bow(d, v), self.voc_ln.bow(dl, vl))
-        )
-        self._query = jax.jit(vocab.query, static_argnames=("n_best",))
-        self._match = None  # jitted lazily (needs store shapes)
+        self._match = jax.jit(match_kf_landmarks)
         self._ransac = jax.jit(
             lambda x, y, m, key: sim3.ransac_sim3(
                 x, y, m, key, n_hypotheses=cfg.loop.sim3_hypotheses,
                 inlier_thresh=0.25, with_scale=False,
             )
         )
-        self._correct = None
 
-    def add_keyframe(self, kf_slot: int, frame, kstore):
-        """Index the new keyframe's BoW vectors and descriptors."""
-        if self.desc_table.shape[1] == 0:
-            s = frame.feats.desc.shape[0]
-            self.desc_table = jnp.zeros((self.db.valid.shape[0], s, 256), jnp.int8)
-        self.desc_table = self.desc_table.at[kf_slot].set(frame.feats.desc)
-        bow_pt, bow_ln = self._bow(
-            frame.feats.desc, frame.feats.valid & (kstore.obs_pt[kf_slot] >= 0),
-            frame.lines.desc, frame.lines.valid,
-        )
-        self.db = self.db.add(kf_slot, bow_pt, bow_ln)
-        return bow_pt, bow_ln
-
-    def detect_and_close(self, kf_slot: int, frame, tracker) -> bool:
-        """Full loop pipeline for the newly inserted keyframe. Returns True
-        if a loop was closed (tracker stores updated in place)."""
+    def on_keyframe(self, tracker, kf_slot: int, best: int, best_score: float) -> bool:
+        """Consume the fused step's loop candidate for keyframe kf_slot.
+        Returns True if a loop was verified and closed (tracker stores
+        updated in place)."""
         cfg = self.cfg
-        bow_pt, bow_ln = self.add_keyframe(kf_slot, frame, tracker.kstore)
-        if kf_slot < cfg.loop.min_kf_gap or kf_slot - self._last_closed_kf < cfg.loop.min_kf_gap:
+        if kf_slot - self._last_closed_kf < cfg.loop.min_kf_gap:
             return False
-        # exclude temporally-near keyframes (the reference excludes the
-        # covisible group; temporal adjacency is our covisibility proxy)
-        excl = np.zeros(self.db.valid.shape[0], bool)
-        excl[max(0, kf_slot - cfg.loop.min_kf_gap) :] = True
-        slots, scores = self._query(self.db, bow_pt, bow_ln, jnp.asarray(excl), n_best=cfg.loop.bow_candidates)
-        best = int(slots[0])
-        best_score = float(scores[0])
         if best < 0 or best_score < 0.15:
             self._consistency = 0
             self._consistent_with = -1
@@ -207,9 +195,7 @@ class LoopCloser:
             return False
 
         # geometric verification
-        x, y, m = match_kf_landmarks(
-            tracker.kstore, tracker.pstore, self.desc_table, kf_slot, best
-        )
+        x, y, m = self._match(tracker.kstore, tracker.pstore, kf_slot, best)
         key = jax.random.PRNGKey(kf_slot)
         R_rel, t_rel, s_rel, inl, n_in = self._ransac(x, y, m, key)
         if int(n_in) < cfg.loop.sim3_min_inliers:
@@ -233,7 +219,7 @@ class LoopCloser:
         # tracking continues from the corrected keyframe pose
         tracker.R = tracker.kstore.R[kf_slot]
         tracker.t = tracker.kstore.t[kf_slot]
-        tracker.vel_xi = None
+        tracker._reset_motion()
         self.n_loops_closed += 1
         self._last_closed_kf = kf_slot
         self._consistency = 0

@@ -99,7 +99,7 @@ def _pose_obs_from_matches(cfg, frame: FrameData, pstore, lstore, pt_idx, pt_ok,
         xe_w=lstore.seg[safe_ln, 3:],
         l_obs=frame.lines.line_coeffs(),
         line_mask=ln_ok & frame.lines.valid,
-        sigma2_ln=jnp.ones_like(frame.lines.angle),
+        sigma2_ln=jnp.full_like(frame.lines.angle, cfg.lines.sigma_px ** 2),
     )
 
 
@@ -264,6 +264,35 @@ def insert_keyframe(
         n_obs=lstore.n_obs.at[jnp.maximum(ln_idx, 0)].add(reobs_l.astype(jnp.int32)),
     )
 
+    # ---- covisibility graph update (reference KeyFrame::UpdateConnections
+    # src/KeyFrame.cc:539): count shared landmarks against every earlier
+    # keyframe via the landmark->KF incidence bitset, then record this
+    # keyframe's bit on each observed landmark.
+    K = kstore.covis.shape[0]
+    KW = pstore.obs_bits.shape[1]
+    has_lm = lm_id >= 0
+    safe_lm = jnp.maximum(lm_id, 0)
+    words = pstore.obs_bits[safe_lm]  # [S, KW]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    unpacked = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)).astype(jnp.int32)
+    unpacked = unpacked.reshape(words.shape[0], -1)[:, :K]  # [S, K]
+    covis_row = jnp.sum(jnp.where(has_lm[:, None], unpacked, 0), axis=0).at[kf_slot].set(0)
+    kstore = dataclasses.replace(
+        kstore,
+        covis=kstore.covis.at[kf_slot].set(covis_row).at[:, kf_slot].set(covis_row),
+    )
+    word_idx = kf_slot // 32
+    bit_val = (jnp.uint32(1) << (kf_slot % 32).astype(jnp.uint32))
+    cleared = jnp.where(ok_new[:, None], jnp.uint32(0), words)  # fresh slot: wipe stale bits
+    col = jnp.arange(KW)[None, :] == word_idx
+    stamped = jnp.where(col, cleared | bit_val, cleared)
+    pstore = dataclasses.replace(
+        pstore,
+        obs_bits=pstore.obs_bits.at[safe_lm].set(
+            jnp.where(has_lm[:, None], stamped, words)
+        ),
+    )
+
     # ---- write the keyframe row -----------------------------------------
     uvr = jnp.concatenate([frame.feats.uv, frame.u_right[:, None]], axis=-1)
     kstore = dataclasses.replace(
@@ -278,7 +307,9 @@ def insert_keyframe(
         obs_stereo=kstore.obs_stereo.at[kf_slot].set(frame.stereo_ok),
         obs_ln=kstore.obs_ln.at[kf_slot].set(lml_id),
         obs_l=kstore.obs_l.at[kf_slot].set(frame.lines.line_coeffs()),
-        obs_ln_sigma2=kstore.obs_ln_sigma2.at[kf_slot].set(jnp.ones_like(frame.lines.angle)),
+        obs_ln_sigma2=kstore.obs_ln_sigma2.at[kf_slot].set(
+            jnp.full_like(frame.lines.angle, cfg.lines.sigma_px ** 2)
+        ),
     )
 
     # ---- landmark culling (reference MapPointCulling semantics) ---------
@@ -297,12 +328,8 @@ def insert_keyframe(
     return pstore, lstore, kstore, n_new
 
 
-def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore, window: jax.Array, fixed: jax.Array, iters: int | None = None):
-    """Windowed BA over `window` (int32 [W] KF slots). Updates stores.
-
-    (reference: LocalMapping -> Optimizer::LocalBundleAdjustment :1864;
-    improved: line landmarks are optimized too)
-    """
+def window_problem(kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore, window: jax.Array, fixed: jax.Array) -> "ba_mod.BAProblem":
+    """Assemble a pose-major BAProblem over `window` (int32 [W] KF slots)."""
     W = window.shape[0]
     S = kstore.obs_pt.shape[1]
     Sl = kstore.obs_ln.shape[1]
@@ -315,7 +342,7 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
     po_pose = jnp.repeat(jnp.arange(W, dtype=jnp.int32), S)
     po_pt = kstore.obs_pt[window].reshape(-1)
     po_mask = (po_pt >= 0) & jnp.repeat(row_ok, S)
-    prob = ba_mod.BAProblem(
+    return ba_mod.BAProblem(
         R=kstore.R[window],
         t=kstore.t[window],
         pose_mask=win_valid,
@@ -336,11 +363,32 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
         lo_sigma2=kstore.obs_ln_sigma2[window].reshape(-1),
         lo_mask=(kstore.obs_ln[window].reshape(-1) >= 0) & jnp.repeat(row_ok, Sl),
     )
+
+
+def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore, window: jax.Array, fixed: jax.Array, iters: int | None = None):
+    """Windowed BA over `window` (int32 [W] KF slots). Updates stores.
+
+    (reference: LocalMapping -> Optimizer::LocalBundleAdjustment :1864;
+    improved: line landmarks are optimized too)
+    """
+    W = window.shape[0]
+    S = kstore.obs_pt.shape[1]
+    Sl = kstore.obs_ln.shape[1]
+    prob = window_problem(kstore, pstore, lstore, window, fixed)
     result = ba_mod.solve_ba(cam, prob, cfg.opt, iters=cfg.opt.local_ba_iters if iters is None else iters)
+    # erase outlier observations from the map (the reference deletes the
+    # MapPoint<->KeyFrame observation after local BA, Optimizer.cc:2323;
+    # without this, bad associations accumulate and bias every later BA)
+    keep_pt = (result.po_chi2 < cfg.opt.prune_chi2_pt).reshape(W, S)
+    keep_ln = (result.lo_chi2 < cfg.opt.prune_chi2_ln).reshape(W, Sl)
+    obs_pt_win = jnp.where(keep_pt, kstore.obs_pt[window], -1)
+    obs_ln_win = jnp.where(keep_ln, kstore.obs_ln[window], -1)
     kstore = dataclasses.replace(
         kstore,
         R=kstore.R.at[window].set(result.R),
         t=kstore.t.at[window].set(result.t),
+        obs_pt=kstore.obs_pt.at[window].set(obs_pt_win),
+        obs_ln=kstore.obs_ln.at[window].set(obs_ln_win),
     )
     pstore = dataclasses.replace(pstore, x=result.pts)
     lstore = dataclasses.replace(lstore, seg=result.lns)
@@ -423,14 +471,33 @@ def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSt
     (reference: Optimizer::GlobalBundleAdjustemnt -> BundleAdjustment,
     src/Optimizer.cc:56/:63, launched from
     LoopClosing::RunGlobalBundleAdjustment :2243 after a loop closure;
-    budget 10 iterations :2250. Here it is the same windowed Schur
-    program with the window = the whole keyframe store and only KF 0
-    held fixed.)
+    budget 10 iterations :2250.)
+
+    Small maps use the joint Schur solve; large maps switch to the
+    memory-bounded alternating solver — the Schur path's Hpl blocks are
+    O(P·K) and exhaust HBM past a few dozen keyframes.
     """
     K = kstore.R.shape[0]
     window = jnp.arange(K, dtype=jnp.int32)
     fixed = jnp.zeros(K, bool).at[0].set(True)
-    return local_ba(cam, cfg, kstore, pstore, lstore, window, fixed, iters=cfg.opt.gba_iters)
+    if K <= 4 * cfg.opt.local_ba_window:
+        return local_ba(cam, cfg, kstore, pstore, lstore, window, fixed, iters=cfg.opt.gba_iters)
+    prob = window_problem(kstore, pstore, lstore, window, fixed)
+    result = ba_mod.solve_ba_alternating(cam, prob, cfg.opt, iters=cfg.opt.gba_iters)
+    S = kstore.obs_pt.shape[1]
+    Sl = kstore.obs_ln.shape[1]
+    keep_pt = (result.po_chi2 < cfg.opt.prune_chi2_pt).reshape(K, S)
+    keep_ln = (result.lo_chi2 < cfg.opt.prune_chi2_ln).reshape(K, Sl)
+    kstore = dataclasses.replace(
+        kstore,
+        R=result.R,
+        t=result.t,
+        obs_pt=jnp.where(keep_pt, kstore.obs_pt, -1),
+        obs_ln=jnp.where(keep_ln, kstore.obs_ln, -1),
+    )
+    pstore = dataclasses.replace(pstore, x=result.pts)
+    lstore = dataclasses.replace(lstore, seg=result.lns)
+    return kstore, pstore, lstore
 
 
 def track_step_inertial(
@@ -542,6 +609,221 @@ def _mono_triangulated_depths(
 
 
 # ---------------------------------------------------------------------------
+# Fused per-frame step (single dispatch, device-side keyframe branch)
+# ---------------------------------------------------------------------------
+#
+# On the TPU tunnel of this deployment a host<->device sync costs ~27 ms
+# and each dispatch ~6 ms — the round-1 tracker paid ~5 syncs per frame
+# and was 70x off real-time REGARDLESS of compute. The fused step runs
+# build-frame -> predict -> 2-round track -> KF decision -> (insert + BA
+# + cull + BoW index/query) as ONE program; the host reads back a single
+# small stats vector. The branchy rare paths (relocalization, new map,
+# loop verification) stay on the host, exactly as planned in SURVEY.md
+# §7.3 item 3 — but the 99% path never leaves the device.
+
+# stats vector layout (f32[12])
+ST_OK = 0  # tracking ok (inliers >= floor)
+ST_NIN = 1  # inlier count
+ST_NKF = 2  # keyframe count after this frame
+ST_KF_CREATED = 3  # 1 if a KF was inserted this frame
+ST_NNEW = 4  # new landmarks created
+ST_NPTS = 5  # valid points in store
+ST_NLNS = 6  # valid lines in store
+ST_FSKF = 7  # frames since last KF (after this frame)
+ST_LASTKFIN = 8  # reference inlier count of the last KF
+ST_LOOP_SLOT = 9  # best loop candidate KF slot (-1 none)
+ST_LOOP_SCORE = 10  # its combined BoW score
+ST_KF_SLOT = 11  # slot of the created KF (-1)
+N_STATS = 12
+
+
+def _device_cull_keyframes(cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, n_kf):
+    """Invalidate redundant keyframes (reference KeyFrameCulling :895):
+    >= kf_cull_redundancy of a KF's landmarks observed >= cull_min_obs+1
+    times elsewhere. KF 0 and the active window are protected."""
+    K = kstore.valid.shape[0]
+    ids = jnp.arange(K)
+    in_scope = (ids >= 1) & (ids < n_kf - cfg.opt.local_ba_window)
+    has = kstore.obs_pt >= 0  # [K, S]
+    n_obs = pstore.n_obs[jnp.maximum(kstore.obs_pt, 0)]
+    red = jnp.sum(((n_obs >= cfg.map.cull_min_obs + 1) & has).astype(jnp.int32), axis=1)
+    tot = jnp.maximum(jnp.sum(has.astype(jnp.int32), axis=1), 1)
+    cull = in_scope & kstore.valid & (red >= cfg.map.kf_cull_redundancy * tot)
+    return dataclasses.replace(kstore, valid=kstore.valid & ~cull)
+
+
+def _window_and_fixed(cfg: SlamConfig, n_kf):
+    """Temporal BA window over the last W keyframes (device ints).
+
+    Used by the inertial path — the reference's LocalInertialBA windows
+    temporally through the mPrevKF chain (src/Optimizer.cc:4552)."""
+    W = cfg.opt.local_ba_window
+    lo = jnp.maximum(n_kf - W, 0)
+    window = jnp.clip(lo + jnp.arange(W, dtype=jnp.int32), 0, jnp.maximum(n_kf - 1, 0))
+    n_fixed = jnp.maximum(cfg.opt.local_ba_fixed, W - (n_kf - lo))
+    fixed = jnp.arange(W) < jnp.maximum(n_fixed, 1)
+    dup = jnp.concatenate([jnp.zeros(1, bool), window[1:] <= window[:-1]])
+    return window, fixed | dup
+
+
+def _covis_window(cfg: SlamConfig, kstore: st.KeyFrameStore, kf_slot, n_kf):
+    """Covisibility BA window: the new keyframe + its W-1 most covisible
+    keyframes (reference LocalBundleAdjustment collects the covisible
+    neighborhood, src/Optimizer.cc:1874-1928). The temporal predecessor
+    is always included so the window never disconnects; the two OLDEST
+    window members are held fixed (gauge, the stand-in for the
+    reference's fixed out-of-window observers)."""
+    W = cfg.opt.local_ba_window
+    K = kstore.covis.shape[0]
+    ids = jnp.arange(K, dtype=jnp.int32)
+    row = kstore.covis[kf_slot]
+    eligible = kstore.valid & (ids < n_kf) & (ids != kf_slot)
+    score = jnp.where(eligible, row.astype(jnp.float32), -1.0)
+    prev_slot = jnp.maximum(kf_slot - 1, 0)
+    score = score.at[prev_slot].add(jnp.where(kf_slot > 0, 1e6, 0.0))
+    top_s, top_i = jax.lax.top_k(score, W - 1)
+    neighbors = jnp.where(top_s > 0, top_i.astype(jnp.int32), kf_slot)  # pad = dup of self
+    window = jnp.concatenate([jnp.asarray([kf_slot], jnp.int32), neighbors])
+    # fix the two oldest distinct members (self never fixed: it sorts last
+    # because padding duplicates equal kf_slot, the newest slot)
+    order = jnp.argsort(window)
+    fixed = jnp.zeros(W, bool).at[order[0]].set(True)
+    fixed = fixed.at[order[1]].set(window[order[1]] != kf_slot)
+    return window, fixed
+
+
+def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
+    """Build the fused per-frame program for a non-inertial sensor.
+
+    `build` maps the raw image args to a FrameData (stereo/rgbd/mono
+    variants). Returns a jitted step:
+      step(img_args, stamp, R, t, R_prev, t_prev, vel_xi, has_vel,
+           n_kf, frames_since_kf, last_kf_inliers, allow_mapping,
+           pstore, lstore, kstore, bow_db)
+      -> (R, t, R_prev, t_prev, vel_xi, has_vel,
+          pstore, lstore, kstore, bow_db, pt_idx, pt_in, ln_idx, ln_in, stats)
+    """
+
+    def kf_branch(args):
+        (frame, stamp, R, t, pt_idx, pt_in, ln_idx, ln_in,
+         n_kf, n_in, pstore, lstore, kstore, bow_db) = args
+        pstore, lstore, kstore, n_new = insert_keyframe(
+            cam, cfg, frame, R, t, stamp, pt_idx, pt_in, ln_idx, ln_in,
+            n_kf, pstore, lstore, kstore,
+        )
+        n_kf2 = n_kf + 1
+
+        def run_ba(ops):
+            ks, ps, ls = ops
+            window, fixed = _covis_window(cfg, ks, n_kf, n_kf2)
+            return local_ba(cam, cfg, ks, ps, ls, window, fixed)
+
+        kstore, pstore, lstore = jax.lax.cond(
+            n_kf2 >= 3, run_ba, lambda ops: ops, (kstore, pstore, lstore)
+        )
+        kstore = _device_cull_keyframes(cfg, kstore, pstore, n_kf2)
+        # continue tracking from the refined keyframe pose
+        R2 = kstore.R[n_kf]
+        t2 = kstore.t[n_kf]
+
+        # BoW index + loop-candidate query (reference LoopClosing's
+        # DetectNBestCandidates, folded into the KF branch so loop
+        # detection costs no extra dispatch)
+        bow_p = voc_pt.bow(frame.feats.desc, frame.feats.valid & (kstore.obs_pt[n_kf] >= 0))
+        bow_l = voc_ln.bow(frame.lines.desc, frame.lines.valid)
+        bow_db = bow_db.add(n_kf, bow_p, bow_l)
+        K = bow_db.valid.shape[0]
+        # exclude the covisible group (reference excludes connected KFs,
+        # src/KeyFrameDatabase.cc:806) plus a temporal guard band
+        excl = (jnp.arange(K) >= jnp.maximum(n_kf2 - cfg.loop.min_kf_gap, 0)) | (
+            kstore.covis[n_kf] > 10
+        )
+        slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=1)
+        can_loop = n_kf >= cfg.loop.min_kf_gap
+        loop_slot = jnp.where(can_loop, slots[0], -1)
+        loop_score = jnp.where(can_loop, scores[0], -1.0)
+        return (R2, t2, pstore, lstore, kstore, bow_db,
+                n_kf2, n_new, loop_slot, loop_score)
+
+    def no_kf_branch(args):
+        (frame, stamp, R, t, pt_idx, pt_in, ln_idx, ln_in,
+         n_kf, n_in, pstore, lstore, kstore, bow_db) = args
+        return (R, t, pstore, lstore, kstore, bow_db,
+                n_kf, jnp.int32(0), jnp.int32(-1), jnp.float32(-1.0))
+
+    def step(img_args, stamp, R, t, R_prev, t_prev, vel_xi, has_vel,
+             n_kf, frames_since_kf, last_kf_inliers, allow_mapping,
+             pstore, lstore, kstore, bow_db):
+        frame = build(*img_args)
+        # motion-model pose prediction (reference mVelocity seeding)
+        dR, dt = lie.se3_exp(vel_xi)
+        use_mm = has_vel & bool(cfg.tracking.motion_model)
+        R0 = jnp.where(use_mm, lie._mm(dR, R), R)
+        t0 = jnp.where(use_mm, lie._einsum("ij,j->i", dR, t) + dt, t)
+        (R1, t1, pt_idx, pt_in, ln_idx, ln_in, n_in, pstore, lstore) = track_step(
+            cam, cfg, frame, R0, t0, pstore, lstore
+        )
+        ok = n_in >= cfg.tracking.min_inliers_track
+        R_new = jnp.where(ok, R1, R0)
+        t_new = jnp.where(ok, t1, t0)
+        # motion model update only on success (reference Tracking.cc:1794)
+        # velocity twist: NEW pose composed with the inverse of the
+        # PREVIOUS frame's pose (R, t) — the incoming (R_prev, t_prev) is
+        # one frame older still
+        R_rel = lie._mm(R_new, R.T)
+        t_rel = t_new - lie._einsum("ij,j->i", R_rel, t)
+        vel_new = lie.se3_log(R_rel, t_rel)
+        vel_xi = jnp.where(ok, vel_new, vel_xi)
+        has_vel = ok | has_vel
+
+        fs = frames_since_kf + 1
+        need_kf = (
+            ok & allow_mapping
+            & (fs > max(cfg.tracking.kf_min_interval, 1))
+            & ((fs >= cfg.tracking.kf_max_interval)
+               | (n_in < cfg.tracking.kf_ref_ratio * jnp.maximum(last_kf_inliers, 1)))
+            & (n_kf < cfg.map.max_keyframes)
+        )
+        args = (frame, stamp, R_new, t_new, pt_idx, pt_in, ln_idx, ln_in,
+                n_kf, n_in, pstore, lstore, kstore, bow_db)
+        (R_new, t_new, pstore, lstore, kstore, bow_db,
+         n_kf2, n_new, loop_slot, loop_score) = jax.lax.cond(
+            need_kf, kf_branch, no_kf_branch, args
+        )
+        fs2 = jnp.where(need_kf, 0, fs)
+        last_in2 = jnp.where(need_kf, n_in + n_new, last_kf_inliers)
+
+        stats = jnp.zeros(N_STATS, jnp.float32)
+        stats = stats.at[ST_OK].set(ok.astype(jnp.float32))
+        stats = stats.at[ST_NIN].set(n_in.astype(jnp.float32))
+        stats = stats.at[ST_NKF].set(n_kf2.astype(jnp.float32))
+        stats = stats.at[ST_KF_CREATED].set(need_kf.astype(jnp.float32))
+        stats = stats.at[ST_NNEW].set(n_new.astype(jnp.float32))
+        stats = stats.at[ST_NPTS].set(jnp.sum(pstore.valid.astype(jnp.float32)))
+        stats = stats.at[ST_NLNS].set(jnp.sum(lstore.valid.astype(jnp.float32)))
+        stats = stats.at[ST_FSKF].set(fs2.astype(jnp.float32))
+        stats = stats.at[ST_LASTKFIN].set(last_in2.astype(jnp.float32))
+        stats = stats.at[ST_LOOP_SLOT].set(loop_slot.astype(jnp.float32))
+        stats = stats.at[ST_LOOP_SCORE].set(loop_score)
+        stats = stats.at[ST_KF_SLOT].set(jnp.where(need_kf, n_kf2 - 1, -1).astype(jnp.float32))
+        # counters are returned as device scalars so consecutive steps can
+        # chain WITHOUT the host reading stats in between (lag-1 streaming)
+        counters = (jnp.asarray(n_kf2, jnp.int32), jnp.asarray(fs2, jnp.int32),
+                    jnp.asarray(last_in2, jnp.int32))
+        return (R_new, t_new, R, t, vel_xi, has_vel,
+                pstore, lstore, kstore, bow_db, pt_idx, pt_in, ln_idx, ln_in,
+                counters, stats)
+
+    return jax.jit(step)
+
+
+def vocab_query(db, bow_pt, bow_ln, exclude_mask, n_best=3):
+    from pli_slam_tpu.worldmap import vocab as vocab_mod
+
+    return vocab_mod.query(db, bow_pt, bow_ln, exclude_mask, n_best=n_best)
+
+
+# ---------------------------------------------------------------------------
 # Host-side tracker
 # ---------------------------------------------------------------------------
 
@@ -562,10 +844,27 @@ class Tracker:
     deterministically.
     """
 
-    def __init__(self, cam: Camera, cfg: SlamConfig):
+    def __init__(self, cam: Camera, cfg: SlamConfig, rectifier=None):
+        """`rectifier`: optional ops.rectify.StereoRectifier applied to raw
+        stereo pairs inside the frame program (the reference's
+        cv::initUndistortRectifyMap + remap ingest, src/Tracking.cc:144)."""
+        from pli_slam_tpu.frontend.frame import build_frame as _bf
+        from pli_slam_tpu.frontend.frame import build_frame_rgbd as _bfr
+        from pli_slam_tpu.worldmap import vocab as vocab_mod
+
         self.cam = cam
         self.cfg = cfg
-        self.build_frame = make_build_frame(cam, cfg)
+        self.rectifier = rectifier
+        if rectifier is not None:
+            _bf_raw = _bf
+
+            def _bf(cam_, cfg_, img_l, img_r):
+                l, r = rectifier(img_l, img_r)
+                return _bf_raw(cam_, cfg_, l, r)
+
+            self.build_frame = jax.jit(partial(_bf, cam, cfg))
+        else:
+            self.build_frame = make_build_frame(cam, cfg)
         self.is_mono = cfg.sensor.startswith("mono")
         self.is_rgbd = cfg.sensor.startswith("rgbd")
         if self.is_rgbd:
@@ -586,6 +885,35 @@ class Tracker:
         self._insert = jax.jit(partial(insert_keyframe, cam, cfg))
         self._ba = jax.jit(partial(local_ba, cam, cfg))
 
+        # vocabularies + BoW database (device state; reference's dual
+        # ORBvoc/LSDvoc + KeyFrameDatabase)
+        self.voc_pt = vocab_mod.Vocabulary(seed=17)
+        self.voc_ln = vocab_mod.Vocabulary(seed=23)
+        self.bow_db = vocab_mod.BowDatabase.empty(cfg.map.max_keyframes, self.voc_pt.n_words)
+        # fused one-dispatch step program (stereo / rgbd visual path)
+        build_raw = partial(_bfr, cam, cfg) if self.is_rgbd else partial(_bf, cam, cfg)
+        self._step = make_step_visual(cam, cfg, self.voc_pt, self.voc_ln, build_raw)
+        # BoW index+query for the host-orchestrated paths (mono/inertial)
+        def _bow_kf(bow_db, kstore, desc, fvalid, ldesc, lvalid, kf_slot, n_kf):
+            bow_p = self.voc_pt.bow(desc, fvalid & (kstore.obs_pt[kf_slot] >= 0))
+            bow_l = self.voc_ln.bow(ldesc, lvalid)
+            bow_db = bow_db.add(kf_slot, bow_p, bow_l)
+            K = bow_db.valid.shape[0]
+            excl = jnp.arange(K) >= jnp.maximum(n_kf - cfg.loop.min_kf_gap, 0)
+            slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=1)
+            can = kf_slot >= cfg.loop.min_kf_gap
+            return bow_db, jnp.where(can, slots[0], -1), jnp.where(can, scores[0], -1.0)
+
+        self._bow_kf = jax.jit(_bow_kf)
+
+        def _bow_query_frame(bow_db, desc, fvalid, ldesc, lvalid, n_best):
+            bow_p = self.voc_pt.bow(desc, fvalid)
+            bow_l = self.voc_ln.bow(ldesc, lvalid)
+            K = bow_db.valid.shape[0]
+            return vocab_query(bow_db, bow_p, bow_l, jnp.zeros(K, bool), n_best=n_best)
+
+        self._bow_query_frame = jax.jit(_bow_query_frame, static_argnames=("n_best",))
+
         m = cfg.map
         self.pstore = st.PointStore.empty(m.max_points)
         self.lstore = st.LineStore.empty(m.max_lines)
@@ -600,17 +928,25 @@ class Tracker:
         if cfg.loop.enabled:
             from pli_slam_tpu.frontend.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(cfg, cfg.map.max_keyframes)
+            self.loop_closer = LoopCloser(cfg)
         self.n_kf = 0
         self.R = jnp.eye(3)
         self.t = jnp.zeros(3)
         self.R_prev = jnp.eye(3)
         self.t_prev = jnp.zeros(3)
-        self.vel_xi = None  # motion model twist (T_cw_k ∘ T_wc_{k-1})
+        self.vel_xi = jnp.zeros(6)  # motion model twist (T_cw_k ∘ T_wc_{k-1})
+        self.has_vel = False
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
         self._lost_frames = 0
-        self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+        # streaming mode: read stats with one frame of lag so the sync
+        # latency overlaps device compute (set by real-time drivers)
+        self.streaming = False
+        self._pending_stats = None
+        # trajectory entries are (stamp, R_cw_dev, t_cw_dev) until
+        # materialized — appending costs no host<->device sync
+        self._traj_pending: list[tuple[float, jax.Array, jax.Array]] = []
+        self._traj_done: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.stats: list[dict] = []
 
         # -- inertial state (sensor *_imu) --------------------------------
@@ -643,7 +979,7 @@ class Tracker:
 
     # -- pose helpers ------------------------------------------------------
     def _predict_pose(self):
-        if self.vel_xi is None or not self.cfg.tracking.motion_model:
+        if not self.has_vel or not self.cfg.tracking.motion_model:
             return self.R, self.t
         dR, dt = lie.se3_exp(self.vel_xi)
         R0 = lie._mm(dR, self.R)
@@ -655,6 +991,21 @@ class Tracker:
         R_rel = lie._mm(self.R, self.R_prev.T)
         t_rel = self.t - lie._einsum("ij,j->i", R_rel, self.t_prev)
         self.vel_xi = lie.se3_log(R_rel, t_rel)
+        self.has_vel = True
+
+    def _reset_motion(self):
+        self.has_vel = False
+
+    # -- trajectory (device-lazy: no sync on append) -----------------------
+    @property
+    def trajectory(self) -> list[tuple[float, np.ndarray, np.ndarray]]:
+        if self._traj_pending:
+            pend, self._traj_pending = self._traj_pending, []
+            Rs = np.asarray(jnp.stack([r for _, r, _ in pend]))
+            ts = np.asarray(jnp.stack([t for _, _, t in pend]))
+            for (stamp, _, _), R_cw, t_cw in zip(pend, Rs, ts):
+                self._traj_done.append((stamp, R_cw.T, -R_cw.T @ t_cw))
+        return self._traj_done
 
     # -- IMU plumbing ------------------------------------------------------
     def _ingest_imu(self, imu: dict, stamp: float):
@@ -772,18 +1123,24 @@ class Tracker:
         self.kstore = fresh.kstore
         self.n_kf = 0
         self.state = TrackingState.NOT_INITIALIZED
-        self.vel_xi = None
+        self._reset_motion()
         self._lost_frames = 0
         self.frames_since_kf = 0
+        self._pending_stats = None
         self._preint_since_kf = None
         self._kf_preints = {}
         self._last_kf_view = None
         if self.is_mono:
             self._mono_init_frame = None
+        from pli_slam_tpu.worldmap import vocab as vocab_mod
+
+        self.bow_db = vocab_mod.BowDatabase.empty(
+            self.cfg.map.max_keyframes, self.voc_pt.n_words
+        )
         if self.loop_closer is not None:
             from pli_slam_tpu.frontend.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(self.cfg, self.cfg.map.max_keyframes)
+            self.loop_closer = LoopCloser(self.cfg)
 
     # -- relocalization (reference Tracking::Relocalization :4176) --------
     def _relocalize(self, frame) -> bool:
@@ -794,18 +1151,15 @@ class Tracker:
         candidate keyframe's pose plays the same role (the first match
         round IS a guided 2D-3D association).
         """
-        if self.loop_closer is None or self.n_kf == 0:
+        if self.n_kf == 0:
             return False
-        from pli_slam_tpu.worldmap import vocab as vocab_mod
-
-        bow_pt, bow_ln = self.loop_closer._bow(
-            frame.feats.desc, frame.feats.valid, frame.lines.desc, frame.lines.valid
-        )
-        slots, scores = self.loop_closer._query(
-            self.loop_closer.db, bow_pt, bow_ln,
-            jnp.zeros(self.loop_closer.db.valid.shape[0], bool),
+        slots, scores = self._bow_query_frame(
+            self.bow_db, frame.feats.desc, frame.feats.valid,
+            frame.lines.desc, frame.lines.valid,
             n_best=self.cfg.loop.bow_candidates,
         )
+        slots = np.asarray(slots)
+        scores = np.asarray(scores)
         for c in range(self.cfg.loop.bow_candidates):
             k = int(slots[c])
             if k < 0 or float(scores[c]) <= 0.05:
@@ -817,7 +1171,7 @@ class Tracker:
             )
             if int(n_in) >= self.cfg.tracking.min_inliers_local_map:
                 self.R, self.t = R, t
-                self.vel_xi = None
+                self._reset_motion()
                 self.state = TrackingState.OK
                 return True
         return False
@@ -846,13 +1200,96 @@ class Tracker:
     # -- main entries ------------------------------------------------------
     def process(self, img_l, img_r, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         """Stereo / stereo-inertial frame (reference System::TrackStereo)."""
-        frame = self.build_frame(jnp.asarray(img_l), jnp.asarray(img_r))
-        return self._process_frame(frame, stamp, allow_mapping, imu)
+        img_args = (jnp.asarray(img_l), jnp.asarray(img_r))
+        if self.use_imu or self.state == TrackingState.NOT_INITIALIZED:
+            frame = self.build_frame(*img_args)
+            return self._process_frame(frame, stamp, allow_mapping, imu)
+        return self._process_fused(img_args, stamp, allow_mapping)
 
     def process_rgbd(self, img, depth, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         """RGB-D frame (reference System::TrackRGBD, src/System.h:112)."""
-        frame = self.build_frame_rgbd(jnp.asarray(img), jnp.asarray(depth))
-        return self._process_frame(frame, stamp, allow_mapping, imu)
+        img_args = (jnp.asarray(img), jnp.asarray(depth))
+        if self.use_imu or self.state == TrackingState.NOT_INITIALIZED:
+            frame = self.build_frame_rgbd(*img_args)
+            return self._process_frame(frame, stamp, allow_mapping, imu)
+        return self._process_fused(img_args, stamp, allow_mapping)
+
+    def _process_fused(self, img_args, stamp: float, allow_mapping: bool) -> dict:
+        """One-dispatch visual frame: the whole build->track->KF->BA->BoW
+        pipeline runs on device; the host syncs one 12-float stats vector
+        and handles only the rare paths (loss, relocalization, loop
+        verification).
+
+        With `self.streaming` set, the host reads the PREVIOUS frame's
+        stats instead (which the device has already finished), so the
+        tunnel's ~27 ms sync latency overlaps the current frame's
+        compute — this is the real-time replay mode. Rare-path reactions
+        then lag one frame, exactly like the reference's asynchronous
+        LocalMapping/LoopClosing threads.
+        """
+        (R, t, R_prev, t_prev, vel_xi, _has_vel,
+         self.pstore, self.lstore, self.kstore, self.bow_db,
+         pt_idx, pt_in, ln_idx, ln_in, counters, stats_dev) = self._step(
+            img_args, stamp, self.R, self.t, self.R_prev, self.t_prev,
+            self.vel_xi, self.has_vel,
+            self.n_kf, self.frames_since_kf, self.last_kf_inliers, allow_mapping,
+            self.pstore, self.lstore, self.kstore, self.bow_db,
+        )
+        self.R, self.t, self.R_prev, self.t_prev = R, t, R_prev, t_prev
+        self.vel_xi = vel_xi
+        self._record(stamp)
+
+        if self.streaming:
+            # chain counters on device; consume the previous frame's stats
+            self.n_kf, self.frames_since_kf, self.last_kf_inliers = counters
+            pending, self._pending_stats = self._pending_stats, (stamp, stats_dev, img_args)
+            if pending is None:
+                info = {"state": self.state, "n_inliers": 0, "n_kf": 0,
+                        "n_points": 0, "n_lines": 0, "new_landmarks": 0}
+                self.stats.append(info)
+                return info
+            stamp_p, stats_dev, img_args = pending
+            stats = np.asarray(stats_dev)
+        else:
+            stats = np.asarray(stats_dev)  # the single host<->device sync
+            self.n_kf = int(stats[ST_NKF])
+            self.frames_since_kf = int(stats[ST_FSKF])
+            self.last_kf_inliers = int(stats[ST_LASTKFIN])
+
+        ok = stats[ST_OK] > 0
+        self.has_vel = bool(ok) or self.has_vel
+        n_inliers = int(stats[ST_NIN])
+
+        if ok:
+            self.state = TrackingState.OK
+            self._lost_frames = 0
+        else:
+            self.state = TrackingState.RECENTLY_LOST
+            self._lost_frames += 1
+            if self._lost_frames >= 2:
+                frame = (self.build_frame_rgbd(*img_args) if self.is_rgbd
+                         else self.build_frame(*img_args))
+                if self._relocalize(frame):
+                    n_inliers = self.cfg.tracking.min_inliers_local_map
+                    self._lost_frames = 0
+                elif self._lost_frames > self.cfg.tracking.recently_lost_sec * self.cfg.fps:
+                    self._switch_to_new_map()
+
+        if stats[ST_KF_CREATED] > 0 and self.loop_closer is not None:
+            self.loop_closer.on_keyframe(
+                self, int(stats[ST_KF_SLOT]),
+                int(stats[ST_LOOP_SLOT]), float(stats[ST_LOOP_SCORE]),
+            )
+        info = {
+            "state": self.state,
+            "n_inliers": n_inliers,
+            "n_kf": int(stats[ST_NKF]),
+            "n_points": int(stats[ST_NPTS]),
+            "n_lines": int(stats[ST_NLNS]),
+            "new_landmarks": int(stats[ST_NNEW]),
+        }
+        self.stats.append(info)
+        return info
 
     def process_mono(self, img, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         """Monocular / mono-inertial frame (reference System::TrackMonocular)."""
@@ -1134,15 +1571,49 @@ class Tracker:
         self._last_kf_view = (
             frame.feats.uv, frame.feats.desc, frame.feats.valid, self.R, self.t
         )
+        # BoW index + loop candidate (host-orchestrated sensors share the
+        # same database the fused step maintains)
+        self.bow_db, slot, score = self._bow_kf(
+            self.bow_db, self.kstore, frame.feats.desc, frame.feats.valid,
+            frame.lines.desc, frame.lines.valid, self.n_kf - 1, self.n_kf,
+        )
         if self.loop_closer is not None:
-            self.loop_closer.detect_and_close(self.n_kf - 1, frame, self)
+            self.loop_closer.on_keyframe(self, self.n_kf - 1, int(slot), float(score))
         self._cull_keyframes()
         return int(n_new)
 
+    def rebuild_bow(self):
+        """Recompute the BoW database from the landmark stores (used after
+        checkpoint load — reference Map::PostLoad rebuilds the
+        KeyFrameDatabase inverted files, src/Map.cc:967)."""
+        ks, ps, ls = self.kstore, self.pstore, self.lstore
+        voc_pt, voc_ln = self.voc_pt, self.voc_ln
+        K = ks.valid.shape[0]
+
+        @jax.jit
+        def rebuild(ks, ps, ls):
+            def one(k):
+                ids = ks.obs_pt[k]
+                m = (ids >= 0) & ps.valid[jnp.maximum(ids, 0)]
+                bow_p = voc_pt.bow(ps.desc[jnp.maximum(ids, 0)], m)
+                lids = ks.obs_ln[k]
+                lm = (lids >= 0) & ls.valid[jnp.maximum(lids, 0)]
+                bow_l = voc_ln.bow(ls.desc[jnp.maximum(lids, 0)], lm)
+                return bow_p, bow_l
+
+            bow_p, bow_l = jax.vmap(one)(jnp.arange(K))
+            from pli_slam_tpu.worldmap import vocab as vocab_mod
+
+            return vocab_mod.BowDatabase(
+                hist_pt=jnp.where(ks.valid[:, None], bow_p, 0.0),
+                hist_ln=jnp.where(ks.valid[:, None], bow_l, 0.0),
+                valid=ks.valid,
+            )
+
+        self.bow_db = rebuild(ks, ps, ls)
+
     def _record(self, stamp: float):
-        R_wc = np.asarray(self.R).T
-        p_w = -R_wc @ np.asarray(self.t)
-        self.trajectory.append((stamp, R_wc, p_w))
+        self._traj_pending.append((stamp, self.R, self.t))
 
     def positions(self) -> np.ndarray:
         return np.stack([p for _, _, p in self.trajectory])

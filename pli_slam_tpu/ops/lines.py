@@ -85,14 +85,18 @@ def _edge_map(img: jax.Array, grad_threshold: float):
     gx, gy = image_ops.sobel_gradients(blurred)
     mag = jnp.sqrt(gx * gx + gy * gy)
     # quantize gradient direction into 4 sectors; compare against both
-    # neighbors along the gradient
+    # neighbors along the gradient. Selection is a one-hot sum over the
+    # 4 shifted maps — pure elementwise (a take_along_axis gather here
+    # cost ~1.4 ms/image on TPU; this is ~50 us).
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
     sector = jnp.round(ang / (jnp.pi / 4.0)).astype(jnp.int32) % 4  # 0:E,1:NE,2:N,3:NW
     offs = [(0, 1), (1, 1), (1, 0), (1, -1)]  # (dy, dx) per sector
-    n_plus = jnp.stack([jnp.roll(mag, (-dy, -dx), (0, 1)) for dy, dx in offs])
-    n_minus = jnp.stack([jnp.roll(mag, (dy, dx), (0, 1)) for dy, dx in offs])
-    sel_p = jnp.take_along_axis(n_plus, sector[None], axis=0)[0]
-    sel_m = jnp.take_along_axis(n_minus, sector[None], axis=0)[0]
+    sel_p = jnp.zeros_like(mag)
+    sel_m = jnp.zeros_like(mag)
+    for s, (dy, dx) in enumerate(offs):
+        is_s = sector == s
+        sel_p = jnp.where(is_s, jnp.roll(mag, (-dy, -dx), (0, 1)), sel_p)
+        sel_m = jnp.where(is_s, jnp.roll(mag, (dy, dx), (0, 1)), sel_m)
     edge = (mag >= grad_threshold) & (mag >= sel_p) & (mag >= sel_m)
     h, w = img.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -102,25 +106,33 @@ def _edge_map(img: jax.Array, grad_threshold: float):
 
 
 def _hough_vote(edge, gx, gy, mag, cfg: LineConfig, h: int, w: int):
-    """Gradient-guided Hough accumulator [T, R] and its bin geometry."""
+    """Gradient-guided Hough accumulator [T, R] and its bin geometry.
+
+    Votes are compacted to the strongest `n_voters` edge pixels first —
+    scattering all H*W pixels (most with zero weight) cost ~3 ms/image;
+    after compaction the three scatters touch ~32k rows.
+    """
     T = cfg.theta_bins
     diag = math.hypot(h, w)
     R = int(2 * diag / cfg.rho_res) + 3
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    n_voters = min(cfg.n_voters, h * w)
+    score = jnp.where(edge, mag, 0.0).reshape(-1)
+    weight, flat_idx = jax.lax.top_k(score, n_voters)
+    xs = (flat_idx % w).astype(jnp.float32)
+    ys = (flat_idx // w).astype(jnp.float32)
+    gx_v = gx.reshape(-1)[flat_idx]
+    gy_v = gy.reshape(-1)[flat_idx]
     # line normal direction = gradient direction; theta in [0, pi)
-    theta = jnp.arctan2(gy, gx) % jnp.pi
+    theta = jnp.arctan2(gy_v, gx_v) % jnp.pi
     tbin0 = (theta * (T / jnp.pi)).astype(jnp.int32) % T
-    weight = jnp.where(edge, mag, 0.0).reshape(-1)
-    acc = jnp.zeros((T, R), jnp.float32)
+    acc = jnp.zeros(T * R, jnp.float32)
     for dt in (-1, 0, 1):
         tb = (tbin0 + dt) % T
         th = (tb.astype(jnp.float32) + 0.5) * (jnp.pi / T)
         rho = xs * jnp.cos(th) + ys * jnp.sin(th)
         rbin = jnp.clip(((rho + diag) / cfg.rho_res).astype(jnp.int32), 0, R - 1)
-        flat = (tb * R + rbin).reshape(-1)
-        acc = acc.reshape(-1).at[flat].add(weight).reshape(T, R)
-    return acc, diag, R
+        acc = acc.at[tb * R + rbin].add(weight)
+    return acc.reshape(T, R), diag, R
 
 
 def _hough_peaks(acc: jax.Array, k: int):

@@ -491,12 +491,152 @@ def ba_iteration(cam, prob: BAProblem, idx_p: ObsIndex, idx_l: ObsIndex,
 
 
 def solve_ba(cam, prob: BAProblem, cfg: OptimizerConfig, iters: int | None = None, axis_name: str | None = None) -> BAResult:
-    """Run `iters` damped GN iterations (reference budget: optimize(5)+optimize(10)).
+    """Two-stage LM solve mirroring the reference's local-BA protocol
+    (src/Optimizer.cc:2157,2231): optimize, reclassify outlier
+    observations by chi2, optimize again with them removed. The returned
+    po_chi2/lo_chi2 let the caller erase outliers from the map the way
+    the reference erases MapPoint observations after local BA.
 
     With `axis_name`, runs as the per-shard body of a `shard_map` over a
     landmark-sharded problem (poses replicated) — see parallel/dist_ba.py.
     """
     iters = cfg.local_ba_iters if iters is None else iters
+    iters1 = max(iters // 3, 1)
+    res1 = _solve_ba_stage(cam, prob, cfg, iters1, axis_name)
+    # outlier reclassification (chi2 thresholds as g2o deltas squared)
+    keep_pt = res1.po_chi2 < cfg.prune_chi2_pt
+    keep_ln = res1.lo_chi2 < cfg.prune_chi2_ln
+    prob2 = dataclasses.replace(
+        prob,
+        R=res1.R, t=res1.t, pts=res1.pts, lns=res1.lns,
+        po_mask=prob.po_mask & keep_pt,
+        lo_mask=prob.lo_mask & keep_ln,
+    )
+    res2 = _solve_ba_stage(cam, prob2, cfg, iters - iters1, axis_name)
+    # report chi2 of EVERY original observation (pruned ones included) at
+    # the final state so the caller can erase them from the obs tables
+    return res2
+
+
+def solve_ba_alternating(cam, prob: BAProblem, cfg: OptimizerConfig,
+                         iters: int | None = None, wcap: int = 16) -> BAResult:
+    """Memory-bounded whole-map BA by exact block-coordinate descent
+    (resection-intersection): alternate a landmark-only GN step (poses
+    fixed — the system is block-diagonal per landmark) with a pose-only
+    GN step (landmarks fixed — block-diagonal per pose). No Hpl blocks
+    are ever materialized, so memory is O(P·wcap) instead of the Schur
+    solve's O(P·W) — this is what global BA over hundreds of keyframes
+    uses (reference RunGlobalBundleAdjustment optimizes the whole graph
+    in a background thread; src/LoopClosing.cc:2243).
+
+    Converges slower per iteration than the joint Schur solve but every
+    step is exact coordinate descent, and after a pose-graph correction
+    the problem starts near the optimum.
+    """
+    iters = cfg.gba_iters if iters is None else iters
+    W = prob.R.shape[0]
+    idx_p, idx_l = prepare_indices(prob, wcap_pt=wcap, wcap_ln=wcap)
+    damping = jnp.asarray(1e-3, jnp.float32)
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+    free = (prob.pose_mask & ~prob.fixed_mask).astype(jnp.float32)
+
+    def body(_, carry):
+        R, t, pts, lns = carry
+        # ---- landmark step (poses fixed) --------------------------------
+        r_p, _, Jl_p, ok_p = _point_obs_linearize(cam, prob, R, t, pts)
+        w_p, _ = _robust_weight(r_p, prob.po_sigma2, ok_p, cfg.huber_stereo)
+        pack_p = jnp.concatenate(
+            [
+                jnp.einsum("nia,n,nib->nab", Jl_p, w_p, Jl_p, precision=_HI).reshape(-1, 9),
+                jnp.einsum("nia,n,ni->na", Jl_p, w_p, r_p, precision=_HI),
+            ],
+            axis=-1,
+        )
+        red_p = segment_reduce(idx_p, pack_p)
+        Hll_p = red_p[:, :9].reshape(-1, 3, 3)
+        gl_p = red_p[:, 9:]
+        act_p = prob.pt_mask & (jnp.diagonal(Hll_p, axis1=1, axis2=2).sum(-1) > 1e-10)
+        Hinv = _inv_spd_equilibrated(
+            Hll_p + damping * eye3 + (~act_p)[:, None, None] * eye3, _inv3x3
+        )
+        d_pt = -jnp.einsum("iab,ib->ia", Hinv, gl_p, precision=_HI)
+        nrm = jnp.linalg.norm(d_pt, axis=-1, keepdims=True)
+        d_pt = d_pt * jnp.minimum(1.0, cfg.ba_max_landmark_step / jnp.maximum(nrm, 1e-12))
+        pts = pts + jnp.where(act_p[:, None] & jnp.all(jnp.isfinite(d_pt), -1, keepdims=True), d_pt, 0.0)
+
+        r_l, _, Jl_l, ok_l = _line_obs_linearize(cam, prob, R, t, lns)
+        w_l, _ = _robust_weight(r_l, prob.lo_sigma2, ok_l, cfg.huber_mono)
+        pack_l = jnp.concatenate(
+            [
+                jnp.einsum("nia,n,nib->nab", Jl_l, w_l, Jl_l, precision=_HI).reshape(-1, 36),
+                jnp.einsum("nia,n,ni->na", Jl_l, w_l, r_l, precision=_HI),
+            ],
+            axis=-1,
+        )
+        red_l = segment_reduce(idx_l, pack_l)
+        Hll_l = red_l[:, :36].reshape(-1, 6, 6)
+        gl_l = red_l[:, 36:]
+        act_l = prob.ln_mask & (jnp.diagonal(Hll_l, axis1=1, axis2=2).sum(-1) > 1e-10)
+        seg_dir = lns[:, 3:] - lns[:, :3]
+        u = seg_dir / jnp.maximum(jnp.linalg.norm(seg_dir, axis=-1, keepdims=True), 1e-6)
+        Dp = jnp.einsum("la,lb->lab", u, u)
+        z3 = jnp.zeros_like(Dp)
+        Dblk = jnp.concatenate(
+            [jnp.concatenate([Dp, z3], -1), jnp.concatenate([z3, Dp], -1)], axis=-2
+        )
+        regl = jnp.diagonal(Hll_l, axis1=1, axis2=2).sum(-1) / 6.0 + 1.0
+        Hinv_l = _inv_spd_equilibrated(
+            Hll_l + damping * eye6 + regl[:, None, None] * Dblk + (~act_l)[:, None, None] * eye6,
+            _inv6x6_spd,
+        )
+        d_ln = -jnp.einsum("iab,ib->ia", Hinv_l, gl_l, precision=_HI)
+        nrm = jnp.linalg.norm(d_ln, axis=-1, keepdims=True)
+        d_ln = d_ln * jnp.minimum(1.0, cfg.ba_max_landmark_step / jnp.maximum(nrm, 1e-12))
+        lns = lns + jnp.where(act_l[:, None] & jnp.all(jnp.isfinite(d_ln), -1, keepdims=True), d_ln, 0.0)
+
+        # ---- pose step (landmarks fixed; block-diagonal, exact) ----------
+        r_p, Jp_p, _, ok_p = _point_obs_linearize(cam, prob, R, t, pts)
+        w_p, _ = _robust_weight(r_p, prob.po_sigma2, ok_p, cfg.huber_stereo)
+        r_l, Jp_l, _, ok_l = _line_obs_linearize(cam, prob, R, t, lns)
+        w_l, _ = _robust_weight(r_l, prob.lo_sigma2, ok_l, cfg.huber_mono)
+        Sx = prob.po_pt.shape[0] // W
+        Sl = prob.lo_ln.shape[0] // W
+        Hpp = (
+            jnp.einsum("nia,n,nib->nab", Jp_p, w_p, Jp_p, precision=_HI).reshape(W, Sx, 6, 6).sum(1)
+            + jnp.einsum("nia,n,nib->nab", Jp_l, w_l, Jp_l, precision=_HI).reshape(W, Sl, 6, 6).sum(1)
+        )
+        gp = (
+            jnp.einsum("nia,n,ni->na", Jp_p, w_p, r_p, precision=_HI).reshape(W, Sx, 6).sum(1)
+            + jnp.einsum("nia,n,ni->na", Jp_l, w_l, r_l, precision=_HI).reshape(W, Sl, 6).sum(1)
+        )
+        act_w = jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 1e-10
+        Hpp_inv = _inv_spd_equilibrated(
+            Hpp + damping * eye6 + (~act_w)[:, None, None] * eye6, _inv6x6_spd
+        )
+        dp = -jnp.einsum("wab,wb->wa", Hpp_inv, gp, precision=_HI)
+        nrm = jnp.linalg.norm(dp, axis=-1, keepdims=True)
+        dp = dp * jnp.minimum(1.0, cfg.ba_max_pose_step / jnp.maximum(nrm, 1e-12))
+        dp = dp * free[:, None] * act_w[:, None]
+        dp = jnp.where(jnp.all(jnp.isfinite(dp)), dp, 0.0)
+        dR, dt = lie.se3_exp(dp)
+        R = lie.normalize_rotation(jnp.einsum("wij,wjk->wik", dR, R, precision=_HI))
+        t = jnp.einsum("wij,wj->wi", dR, t, precision=_HI) + dt
+        return R, t, pts, lns
+
+    R, t, pts, lns = jax.lax.fori_loop(
+        0, iters, body, (prob.R, prob.t, prob.pts, prob.lns)
+    )
+    # final residual evaluation for chi2 reporting
+    r_p, _, _, ok_p = _point_obs_linearize(cam, prob, R, t, pts)
+    w_p, chi2_p = _robust_weight(r_p, prob.po_sigma2, ok_p, cfg.huber_stereo)
+    r_l, _, _, ok_l = _line_obs_linearize(cam, prob, R, t, lns)
+    w_l, chi2_l = _robust_weight(r_l, prob.lo_sigma2, ok_l, cfg.huber_mono)
+    cost = jnp.sum(w_p * chi2_p * prob.po_sigma2) + jnp.sum(w_l * chi2_l * prob.lo_sigma2)
+    return BAResult(R=R, t=t, pts=pts, lns=lns, po_chi2=chi2_p, lo_chi2=chi2_l, cost=cost)
+
+
+def _solve_ba_stage(cam, prob: BAProblem, cfg: OptimizerConfig, iters: int, axis_name: str | None = None) -> BAResult:
     idx_p, idx_l = prepare_indices(prob)
 
     # Levenberg-Marquardt with DELAYED rejection: ba_iteration evaluates

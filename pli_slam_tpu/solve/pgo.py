@@ -183,3 +183,25 @@ def chain_edges(R: jax.Array, t: jax.Array, s: jax.Array, valid: jax.Array):
     Rm, tm, sm = lie.sim3_compose(R[j], t[j], s[j], Rii, tii, sii)
     mask = valid[i] & valid[j]
     return i, j, Rm, tm, sm, mask
+
+
+def covis_edges(R: jax.Array, t: jax.Array, s: jax.Array, valid: jax.Array,
+                covis: jax.Array, n_top: int = 2, min_weight: int = 30):
+    """Covisibility edges: each keyframe to its `n_top` most covisible
+    non-adjacent keyframes with weight >= min_weight (the reference's
+    essential graph adds covisibility edges with w >= 100 on top of the
+    spanning tree, src/Optimizer.cc:2437-2750; our threshold is lower
+    because the dense slot budget caps per-pair counts).
+    Measurements are the CURRENT relative poses, matching chain_edges.
+    """
+    K = R.shape[0]
+    ids = jnp.arange(K, dtype=jnp.int32)
+    w = jnp.where(valid[:, None] & valid[None, :], covis, 0)
+    w = jnp.where(jnp.abs(ids[:, None] - ids[None, :]) <= 1, 0, w)  # chain covers these
+    top_w, top_j = jax.lax.top_k(w, n_top)  # [K, n_top]
+    i = jnp.repeat(ids, n_top)
+    j = top_j.reshape(-1).astype(jnp.int32)
+    mask = (top_w.reshape(-1) >= min_weight) & valid[i] & valid[j] & (i < j)
+    Rii, tii, sii = lie.sim3_inverse(R[i], t[i], s[i])
+    Rm, tm, sm = lie.sim3_compose(R[j], t[j], s[j], Rii, tii, sii)
+    return i, j, Rm, tm, sm, mask

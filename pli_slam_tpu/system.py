@@ -31,12 +31,17 @@ from pli_slam_tpu.utils.config import SlamConfig
 class System:
     SENSORS = ("stereo", "stereo_imu", "mono", "mono_imu", "rgbd")
 
-    def __init__(self, cam: Camera, cfg: SlamConfig | None = None):
+    def __init__(self, cam: Camera, cfg: SlamConfig | None = None, rectifier=None):
+        """`rectifier`: optional ops.rectify.StereoRectifier; raw distorted
+        stereo pairs are rectified on device inside the frame program
+        (reference: Tracking::ParseCamParamFile rectification-map setup,
+        src/Tracking.cc:144-258)."""
         self.cfg = cfg or SlamConfig.euroc_stereo()
         if self.cfg.sensor not in self.SENSORS:
             raise ValueError(f"unknown sensor {self.cfg.sensor}")
         self.cam = cam
-        self.tracker = Tracker(cam, self.cfg)
+        self.rectifier = rectifier
+        self.tracker = Tracker(cam, self.cfg, rectifier=rectifier)
         self.localization_only = False
         self._frame_times: list[float] = []
 
@@ -90,7 +95,7 @@ class System:
 
     def reset(self):
         """Full reset (reference System::Reset)."""
-        self.tracker = Tracker(self.cam, self.cfg)
+        self.tracker = Tracker(self.cam, self.cfg, rectifier=self.rectifier)
         self._frame_times.clear()
 
     # -- trajectory output -------------------------------------------------
@@ -148,6 +153,10 @@ class System:
         tr.R = jnp.asarray(data["meta_R"])
         tr.t = jnp.asarray(data["meta_t"])
         tr.state = TrackingState.OK if tr.n_kf > 0 else TrackingState.NOT_INITIALIZED
-        # rebuild the loop-closing BoW index from keyframe descriptors
-        if tr.loop_closer is not None and tr.n_kf > 0:
-            tr.loop_closer = type(tr.loop_closer)(self.cfg, self.cfg.map.max_keyframes)
+        # rebuild the loop-closing/relocalization BoW index from the
+        # loaded landmark descriptors (reference Map::PostLoad rebuilds
+        # the KeyFrameDatabase, src/Map.cc:967)
+        if tr.n_kf > 0:
+            tr.rebuild_bow()
+        if tr.loop_closer is not None:
+            tr.loop_closer = type(tr.loop_closer)(self.cfg)

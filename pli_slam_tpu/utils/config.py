@@ -43,10 +43,12 @@ class LineConfig:
     # Hough-based detector (TPU-native replacement for LSD region growing)
     theta_bins: int = 180
     rho_res: float = 2.0
+    n_voters: int = 32768  # strongest edge pixels that cast Hough votes
     n_candidates: int = 512  # Hough peaks considered before segment NMS
     n_samples: int = 512  # along-line support samples per candidate
     support_angle_deg: float = 22.5
     max_gap: int = 4  # tolerated support gap, in samples
+    sigma_px: float = 2.0  # endpoint-to-line measurement noise (Hough sample quantization)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +99,8 @@ class OptimizerConfig:
     damping_init: float = 1e-4
     ba_max_pose_step: float = 0.5  # per-iteration pose twist trust region
     ba_max_landmark_step: float = 1.0  # per-iteration landmark step cap
+    prune_chi2_pt: float = 7.815  # stage-2 outlier gate, 3-dof (Optimizer.cc:2196)
+    prune_chi2_ln: float = 5.991  # 2-dof endpoint-distance chi2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,10 +9,11 @@ Layout expected (standard ASL): <root>/mav0/cam0/data/*.png,
 cam1/data/*.png, cam0/data.csv, imu0/data.csv,
 state_groundtruth_estimate0/data.csv.
 
-Stereo rectification is computed once from the sensor.yaml-style
-calibration and applied on device as a bilinear remap (one gather per
-image) — equivalent to the reference's cv::initUndistortRectifyMap +
-remap at ingestion.
+This loader yields RAW (distorted) images; pass
+`ops.rectify.euroc_rectifier()` to the System/Tracker so the bilinear
+undistort+rectify remap runs on device inside the frame program
+(equivalent of the reference's cv::initUndistortRectifyMap + remap at
+ingestion — see ops/rectify.py and tests/test_rectify.py).
 """
 
 from __future__ import annotations

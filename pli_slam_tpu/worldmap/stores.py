@@ -41,9 +41,12 @@ class PointStore:
     found: jax.Array  # [P] int32 — times matched (reference found ratio)
     first_kf: jax.Array  # [P] int32
     last_kf: jax.Array  # [P] int32 — last KF that observed it
+    obs_bits: jax.Array  # [P, ceil(K/32)] uint32 — which KFs observe it
+    # (the inverted incidence behind the covisibility graph; the dense
+    # analog of MapPoint::mObservations keys, reference src/MapPoint.cc)
 
     @staticmethod
-    def empty(capacity: int) -> "PointStore":
+    def empty(capacity: int, kf_capacity: int = 512) -> "PointStore":
         return PointStore(
             x=jnp.zeros((capacity, 3)),
             desc=jnp.zeros((capacity, 256), jnp.int8),
@@ -53,6 +56,7 @@ class PointStore:
             found=jnp.ones(capacity, jnp.int32),
             first_kf=jnp.zeros(capacity, jnp.int32),
             last_kf=jnp.zeros(capacity, jnp.int32),
+            obs_bits=jnp.zeros((capacity, (kf_capacity + 31) // 32), jnp.uint32),
         )
 
 
@@ -108,6 +112,10 @@ class KeyFrameStore:
     obs_ln: jax.Array  # [K,Sl] int32 landmark id or -1
     obs_l: jax.Array  # [K,Sl,3] normalized image line
     obs_ln_sigma2: jax.Array  # [K,Sl]
+    # covisibility graph: covis[i, j] = number of point landmarks KFs i
+    # and j share (reference KeyFrame::UpdateConnections,
+    # src/KeyFrame.cc:539 — point observations only, like the reference)
+    covis: jax.Array  # [K,K] int32
 
     @staticmethod
     def empty(capacity: int, slots_pt: int, slots_ln: int) -> "KeyFrameStore":
@@ -126,6 +134,7 @@ class KeyFrameStore:
             obs_ln=jnp.full((capacity, slots_ln), -1, jnp.int32),
             obs_l=jnp.zeros((capacity, slots_ln, 3)),
             obs_ln_sigma2=jnp.ones((capacity, slots_ln)),
+            covis=jnp.zeros((capacity, capacity), jnp.int32),
         )
 
 

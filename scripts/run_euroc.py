@@ -53,7 +53,11 @@ def main():
         width=calib.width, height=calib.height,
     )
     seq = EurocSequence(seq_dir)
-    sysm = System(cam, cfg)
+    from pli_slam_tpu.ops.rectify import euroc_rectifier
+
+    rectifier = None if "--no-rectify" in sys.argv else euroc_rectifier()
+    sysm = System(cam, cfg, rectifier=rectifier)
+    sysm.tracker.streaming = True  # real-time replay: lag-1 stats readout
     print(f"sequence: {len(seq)} frames; running {n_frames or len(seq)}")
 
     stamps = []

@@ -98,9 +98,8 @@ def test_match_kf_landmarks(rng):
         obs_pt=kstore.obs_pt.at[0].set(obs_a).at[1].set(obs_b),
         valid=kstore.valid.at[:2].set(True),
     )
-    desc_table = jnp.zeros((8, S, 256), jnp.int8)
-    desc_table = desc_table.at[0, :10].set(descs)
-    desc_table = desc_table.at[1, :10].set(descs[jnp.asarray(perm)])
-    xa, xb, ok = loop_closing.match_kf_landmarks(kstore, pstore, desc_table, 0, 1)
+    # landmark descriptors live in the point store (no per-KF copy)
+    pstore = dataclasses.replace(pstore, desc=pstore.desc.at[:10].set(descs))
+    xa, xb, ok = loop_closing.match_kf_landmarks(kstore, pstore, 0, 1)
     assert int(ok.sum()) == 10
     np.testing.assert_allclose(np.asarray(xa)[np.asarray(ok)], np.asarray(xb)[np.asarray(ok)], atol=1e-6)
