@@ -84,9 +84,9 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 20.0, 3),
         "extra": {
-            "ate_m_synthetic": round(ate, 4),
+            "ate_m_synthetic": round(float(ate), 4),
             "frames": n_frames,
-            "n_keyframes": tracker.n_kf,
+            "n_keyframes": int(tracker.n_kf),
             "n_points": int(tracker.pstore.valid.sum()),
             "n_lines": int(tracker.lstore.valid.sum()),
         },

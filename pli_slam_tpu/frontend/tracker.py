@@ -179,10 +179,17 @@ def insert_keyframe(
     # A feature whose tracking match failed would otherwise spawn a
     # duplicate of an existing landmark; duplicates then defeat the
     # ratio test and collapse tracking. Re-associate candidates to the
-    # store by 3D proximity (depth-proportional radius) + descriptor.
-    merge_r = 0.05 * x_c[:, 2]  # [N]
-    d3 = jnp.sum((x_w[:, None, :] - pstore.x[None, :, :]) ** 2, axis=-1)
-    fuse_gate = (d3 <= (merge_r[:, None] ** 2)) & pstore.valid[None, :]
+    # store by proximity (depth-proportional radius) + descriptor. The
+    # 3D ball test ||x_w - p|| <= 0.05 z decomposes into a projected 2D
+    # window (~0.05 fx px, one [N,P] matmul) and a 1D depth band — the
+    # dense [N,P,3] difference tensor it replaces was ~250 MB of HBM
+    # traffic on every keyframe.
+    xc_store = lie._einsum("ij,pj->pi", R, pstore.x) + t  # [P,3] current cam
+    z_store = xc_store[:, 2]
+    uv_store = cam_ops.project(cam, xc_store)
+    gate2d = matching.window_gate(frame.feats.uv, uv_store, 0.05 * cam.fx)
+    zgate = jnp.abs(z_store[None, :] - x_c[:, 2:3]) <= 0.05 * jnp.maximum(x_c[:, 2:3], 1e-3)
+    fuse_gate = gate2d & zgate & (z_store > 0.05)[None, :] & pstore.valid[None, :]
     fuse_dist = matching.hamming_matrix(frame.feats.desc, pstore.desc)
     fuse_idx, fuse_best, fuse_ok = matching.match_nn(
         fuse_dist, want_new, pstore.valid, fuse_gate, max_dist=64.0
@@ -398,7 +405,7 @@ def local_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSto
 def local_inertial_ba(
     cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore,
     lstore: st.LineStore, window: jax.Array, fixed: jax.Array,
-    preint_chain, imu_mask: jax.Array, gravity_w: jax.Array,
+    preint_chain, imu_mask: jax.Array, gravity_w: jax.Array, ext=None,
 ):
     """Visual-inertial windowed BA over a temporal keyframe window.
 
@@ -442,6 +449,10 @@ def local_inertial_ba(
         lo_sigma2=kstore.obs_ln_sigma2[window].reshape(-1),
         lo_mask=(kstore.obs_ln[window].reshape(-1) >= 0) & jnp.repeat(row_ok, Sl),
     )
+    if ext is None:
+        from pli_slam_tpu.solve import inertial as inr
+
+        ext = inr.Extrinsics.identity()
     prob = vib.VIBAProblem(
         base=base,
         v=kstore.v_w[window],
@@ -450,6 +461,8 @@ def local_inertial_ba(
         preint=preint_chain,
         imu_mask=imu_mask & row_ok[1:] & row_ok[:-1],
         gravity_w=gravity_w,
+        R_cb=ext.R_cb,
+        t_cb=ext.t_cb,
     )
     R, t, v, bg, ba_, pts, lns = vib.solve_vi_ba(cam, prob, cfg.opt, cfg.imu)
     kstore = dataclasses.replace(
@@ -502,14 +515,14 @@ def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSt
 
 def track_step_inertial(
     cam, cfg: SlamConfig, frame: FrameData, preint, prev_state, init_state,
-    gravity_w, pstore: st.PointStore, lstore: st.LineStore,
+    gravity_w, ext, pstore: st.PointStore, lstore: st.LineStore,
 ):
     """Inertial analog of track_step: the 15-dof state is solved with the
     preintegration factor in the loop (reference: TrackLocalMap's
-    PoseInertialOptimizationLastFrame path, src/Tracking.cc:3308)."""
+    PoseInertialOptimizationLastFrame path, src/Tracking.cc:3308).
+    `ext` is the body-camera Extrinsics (reference IMU::Calib Tbc)."""
     from pli_slam_tpu.solve import inertial as inr
 
-    ext = inr.Extrinsics.identity()
     R0, t0 = inr.camera_pose(init_state, ext)
     r1 = cfg.match.search_radius_px
     pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1)
@@ -951,6 +964,11 @@ class Tracker:
 
         # -- inertial state (sensor *_imu) --------------------------------
         self.use_imu = cfg.sensor.endswith("_imu")
+        from pli_slam_tpu.solve import inertial as _inr
+
+        # body-camera extrinsics T_cb from the configured Tbc (reference
+        # IMU::Calib, src/Tracking.cc:761); identity when unset
+        self.ext = _inr.Extrinsics.from_Tbc(cfg.imu.Tbc)
         self.imu_ready = False
         self.gravity_w = None  # world gravity vector after init
         self.v_w = jnp.zeros(3)
@@ -1085,7 +1103,9 @@ class Tracker:
             n = self.n_kf
             R_k = np.asarray(ks.R[:n])
             t_k = np.asarray(ks.t[:n])
-            p_k = -np.einsum("kij,kj->ki", R_k.transpose(0, 2, 1), t_k)
+            # body positions p_wb = R_cw^T (t_cb - t_cw)
+            t_cb = np.asarray(self.ext.t_cb)
+            p_k = np.einsum("kij,kj->ki", R_k.transpose(0, 2, 1), t_cb[None] - t_k)
             s_k = np.asarray(ks.stamp[:n])
             v_k = np.zeros((n, 3), np.float32)
             for k in range(n):
@@ -1104,9 +1124,9 @@ class Tracker:
     def _body_state(self):
         from pli_slam_tpu.solve import inertial as inr
 
-        R_wb = self.R.T  # identity extrinsics: body = camera
-        p_w = -lie._einsum("ij,j->i", self.R.T, self.t)
-        return inr.BodyState(R_wb=R_wb, p_w=p_w, v_w=self.v_w, bg=self.bg, ba=self.ba)
+        return inr.body_state_from_camera(
+            self.R, self.t, self.v_w, self.bg, self.ba, self.ext
+        )
 
     # -- Atlas: new map on persistent loss ---------------------------------
     def _switch_to_new_map(self):
@@ -1227,7 +1247,7 @@ class Tracker:
         then lag one frame, exactly like the reference's asynchronous
         LocalMapping/LoopClosing threads.
         """
-        (R, t, R_prev, t_prev, vel_xi, _has_vel,
+        (R, t, R_prev, t_prev, vel_xi, has_vel_dev,
          self.pstore, self.lstore, self.kstore, self.bow_db,
          pt_idx, pt_in, ln_idx, ln_in, counters, stats_dev) = self._step(
             img_args, stamp, self.R, self.t, self.R_prev, self.t_prev,
@@ -1237,6 +1257,11 @@ class Tracker:
         )
         self.R, self.t, self.R_prev, self.t_prev = R, t, R_prev, t_prev
         self.vel_xi = vel_xi
+        # chain the DEVICE-computed motion-model flag: deriving it from the
+        # (lag-1) stats readout made streaming mode track one frame without
+        # motion-model prediction, which cascaded into a different keyframe
+        # set and 3.5x worse ATE (round-2 regression root cause)
+        self.has_vel = has_vel_dev
         self._record(stamp)
 
         if self.streaming:
@@ -1257,7 +1282,6 @@ class Tracker:
             self.last_kf_inliers = int(stats[ST_LASTKFIN])
 
         ok = stats[ST_OK] > 0
-        self.has_vel = bool(ok) or self.has_vel
         n_inliers = int(stats[ST_NIN])
 
         if ok:
@@ -1320,7 +1344,7 @@ class Tracker:
             (state2, R, t, pt_idx, pt_in, ln_idx, ln_in, n_in,
              self.pstore, self.lstore) = self._track_inertial(
                 frame, self.last_preint, prev_state, init_state, self.gravity_w,
-                self.pstore, self.lstore,
+                self.ext, self.pstore, self.lstore,
             )
             n_inliers = int(n_in)
             self.R_prev, self.t_prev = self.R, self.t
@@ -1334,8 +1358,7 @@ class Tracker:
                 self._lost_frames = 0
             else:
                 # dead-reckon on the IMU (reference RECENTLY_LOST+IMU path)
-                ext = inr.Extrinsics.identity()
-                self.R, self.t = inr.camera_pose(init_state, ext)
+                self.R, self.t = inr.camera_pose(init_state, self.ext)
                 self.v_w = v_pred
                 self.state = TrackingState.RECENTLY_LOST
         else:
@@ -1369,7 +1392,10 @@ class Tracker:
         # inertial bookkeeping: history for init, then try to initialize
         if self.use_imu and self.last_preint is not None and self.state == TrackingState.OK:
             if not self.imu_ready:
-                self._imu_history.append((self.last_preint, self.R.T))
+                # store the BODY world rotation R_wb = R_cw^T R_cb
+                self._imu_history.append(
+                    (self.last_preint, lie._mm(self.R.T, self.ext.R_cb))
+                )
                 if (
                     self._first_imu_stamp is not None
                     and stamp - self._first_imu_stamp >= self.cfg.imu.init_time_sec
@@ -1553,7 +1579,7 @@ class Tracker:
                 self.kstore, self.pstore, self.lstore = self._vi_ba(
                     self.kstore, self.pstore, self.lstore,
                     jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
-                    stacked, jnp.asarray(imu_mask), self.gravity_w,
+                    stacked, jnp.asarray(imu_mask), self.gravity_w, self.ext,
                 )
                 k = self.n_kf - 1
                 self.v_w = self.kstore.v_w[k]

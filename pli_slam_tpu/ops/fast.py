@@ -26,8 +26,9 @@ _ARC_MASK = (1 << _ARC_LEN) - 1
 
 
 def _ring_stack(img: jax.Array) -> jax.Array:
-    """[16, H, W] of ring-shifted copies: ring[i][y, x] = img[y+dy_i, x+dx_i]."""
-    shifted = [jnp.roll(img, shift=(-dy, -dx), axis=(0, 1)) for dx, dy in RING_OFFSETS]
+    """[16, ..., H, W] of ring-shifted copies: ring[i][..., y, x] =
+    img[..., y+dy_i, x+dx_i]. Accepts leading batch dims (pyramid stack)."""
+    shifted = [jnp.roll(img, shift=(-dy, -dx), axis=(-2, -1)) for dx, dy in RING_OFFSETS]
     return jnp.stack(shifted, axis=0)
 
 
@@ -55,7 +56,7 @@ def fast_score(img: jax.Array, threshold: float, diff: jax.Array | None = None) 
     brighter = diff > threshold
     darker = diff < -threshold
 
-    weights = (1 << jnp.arange(16, dtype=jnp.int32))[:, None, None]
+    weights = (1 << jnp.arange(16, dtype=jnp.int32)).reshape((16,) + (1,) * (diff.ndim - 1))
     bits_b = jnp.sum(jnp.where(brighter, weights, 0), axis=0)
     bits_d = jnp.sum(jnp.where(darker, weights, 0), axis=0)
     corner = _has_contiguous_arc(bits_b) | _has_contiguous_arc(bits_d)
@@ -64,18 +65,20 @@ def fast_score(img: jax.Array, threshold: float, diff: jax.Array | None = None) 
     excess_d = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
     score = jnp.maximum(excess_b, excess_d)
 
-    h, w = img.shape
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    h, w = img.shape[-2:]
+    ys = jax.lax.broadcasted_iota(jnp.int32, img.shape, img.ndim - 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, img.shape, img.ndim - 1)
     interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
     corner = corner & interior
     return jnp.where(corner, score, 0.0), corner
 
 
 def nms_3x3(score: jax.Array) -> jax.Array:
-    """Keep local maxima of the score map (3x3 window)."""
+    """Keep local maxima of the score map (3x3 window). Accepts [..., H, W]."""
+    nb = score.ndim - 2
     m = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        score, -jnp.inf, jax.lax.max,
+        (1,) * nb + (3, 3), (1,) * nb + (1, 1), "SAME",
     )
     return (score >= m) & (score > 0.0)
 

@@ -42,13 +42,13 @@ def _sep_filter(img: jax.Array, taps: jax.Array, axis: int) -> jax.Array:
 
 
 def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int = 3) -> jax.Array:
-    """Separable Gaussian blur as shifted adds.
+    """Separable Gaussian blur as shifted adds. Accepts [..., H, W].
 
     (reference blurs with 7x7 sigma=2 before computing descriptors,
     src/ORBextractor.cc:1105)
     """
     k = gaussian_kernel1d(sigma, radius)
-    return _sep_filter(_sep_filter(img, k, 0), k, 1)
+    return _sep_filter(_sep_filter(img, k, -2), k, -1)
 
 
 def bilinear_resize(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
@@ -94,11 +94,11 @@ def build_pyramid(img: jax.Array, n_levels: int, scale_factor: float) -> list[ja
 
 def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Sobel gx, gy as separable shifted adds (Sobel = smooth [1,2,1] x diff
-    [-1,0,1]); single-channel 2-D convs are slow on TPU."""
+    [-1,0,1]); single-channel 2-D convs are slow on TPU. Accepts [..., H, W]."""
     smooth = jnp.array([1.0, 2.0, 1.0], jnp.float32)
     diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
-    gx = _sep_filter(_sep_filter(img, smooth, 0), diff, 1)
-    gy = _sep_filter(_sep_filter(img, smooth, 1), diff, 0)
+    gx = _sep_filter(_sep_filter(img, smooth, -2), diff, -1)
+    gy = _sep_filter(_sep_filter(img, smooth, -1), diff, -2)
     return gx, gy
 
 

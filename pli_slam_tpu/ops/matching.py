@@ -95,8 +95,16 @@ def window_gate(uv1: jax.Array, uv2: jax.Array, radius: float) -> jax.Array:
     Replaces the reference's `GetFeaturesInArea` grid-bucket lookup
     (src/Frame.cc:530) — the grid existed to cheapen this test on CPU;
     on TPU the dense predicate is cheaper than maintaining buckets.
+    Expansion ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b keeps the [N1,N2]
+    computation a single MXU matmul instead of materializing [N1,N2,2].
     """
-    d2 = jnp.sum((uv1[:, None, :] - uv2[None, :, :]) ** 2, axis=-1)
+    cross = jax.lax.dot_general(
+        uv1, uv2, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n1 = jnp.sum(uv1 * uv1, axis=-1)
+    n2 = jnp.sum(uv2 * uv2, axis=-1)
+    d2 = n1[:, None] + n2[None, :] - 2.0 * cross
     return d2 <= radius * radius
 
 

@@ -46,6 +46,37 @@ def brief_pattern(seed: int = 1234, n_bits: int = 256, sigma: float = 31.0 / 5.0
 
 _PATTERN = brief_pattern()
 
+# Pool-based BRIEF: the classic pattern needs 2*n_bits random image
+# gathers per keypoint — the single most expensive op in extraction on
+# TPU (random gathers don't vectorize). Instead gather a POOL of
+# `_POOL_N` rotated sample points once per keypoint and realize the 256
+# comparison pairs as two one-hot [256, pool] matmuls (MXU) over the
+# gathered values: 4x fewer gathers, identical steering math. Pairs are
+# sampled so both endpoints are distinct and pair displacement keeps the
+# BRIEF Gaussian statistics.
+_POOL_N = 128
+
+
+def _brief_pool_and_pairs(seed: int = 1234, n_bits: int = 256, sigma: float = 31.0 / 5.0):
+    rng = np.random.default_rng(seed)
+    pool = np.clip(np.round(rng.normal(0.0, sigma, size=(_POOL_N, 2))), -13, 13)
+    pairs = np.empty((n_bits, 2), np.int32)
+    seen = set()
+    k = 0
+    while k < n_bits:
+        a, b = rng.integers(0, _POOL_N, 2)
+        if a == b or (a, b) in seen or (b, a) in seen:
+            continue
+        seen.add((a, b))
+        pairs[k] = (a, b)
+        k += 1
+    return pool.astype(np.float32), pairs
+
+
+_POOL, _PAIRS = _brief_pool_and_pairs()
+_SEL_A = np.eye(_POOL_N, dtype=np.float32)[_PAIRS[:, 0]]  # [256, pool]
+_SEL_B = np.eye(_POOL_N, dtype=np.float32)[_PAIRS[:, 1]]
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -93,39 +124,52 @@ def _ic_angle_maps(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     # NOTE on roll direction: _sep_filter computes out[i] = sum_k taps[k] ·
     # img[i - (r - k)] = sum_d taps[r+d] · img[i+d], so taps must be the
     # weight of the NEIGHBOR AT OFFSET +d at index r+d — `ramp` is exactly that.
-    col_sum = image_ops._sep_filter(img, ones, 0)  # sum over y-window
-    m10 = image_ops._sep_filter(col_sum, ramp, 1)  # weight x-offsets
-    row_sum = image_ops._sep_filter(img, ones, 1)
-    m01 = image_ops._sep_filter(row_sum, ramp, 0)
+    col_sum = image_ops._sep_filter(img, ones, -2)  # sum over y-window
+    m10 = image_ops._sep_filter(col_sum, ramp, -1)  # weight x-offsets
+    row_sum = image_ops._sep_filter(img, ones, -1)
+    m01 = image_ops._sep_filter(row_sum, ramp, -2)
     return m10, m01
 
 
 def _cell_topk_candidates(score: jax.Array, cell: int, k_cell: int):
-    """Per-cell top-k over a zero-padded score map -> flat (scores, ys, xs).
+    """Per-cell top-k over a zero-padded score map [..., H, W] -> flat
+    (scores, ys, xs), each [..., nc*k].
 
     k_cell is small (<=8), so iterative argmax+mask (k_cell VPU passes)
     beats `lax.top_k`'s per-row sort on TPU by a wide margin.
     """
-    h, w = score.shape
+    h, w = score.shape[-2:]
+    lead = score.shape[:-2]
     hp = -(-h // cell) * cell
     wp = -(-w // cell) * cell
-    s = jnp.pad(score, ((0, hp - h), (0, wp - w)))
+    pad = [(0, 0)] * len(lead) + [(0, hp - h), (0, wp - w)]
+    s = jnp.pad(score, pad)
     ncy, ncx = hp // cell, wp // cell
-    cells = s.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+    cells = (
+        s.reshape(lead + (ncy, cell, ncx, cell))
+        .swapaxes(-3, -2)
+        .reshape(lead + (ncy * ncx, cell * cell))
+    )
+    nc = ncy * ncx
+    col = jnp.arange(cell * cell, dtype=jnp.int32)
     top_s_list, top_i_list = [], []
     for _ in range(k_cell):
-        i = jnp.argmax(cells, axis=1).astype(jnp.int32)
-        v = jnp.take_along_axis(cells, i[:, None], axis=1)[:, 0]
+        i = jnp.argmax(cells, axis=-1).astype(jnp.int32)
+        v = jnp.take_along_axis(cells, i[..., None], axis=-1)[..., 0]
         top_s_list.append(v)
         top_i_list.append(i)
-        cells = cells.at[jnp.arange(cells.shape[0]), i].set(-jnp.inf)
-    top_s = jnp.stack(top_s_list, axis=1)  # [nc, k]
-    top_i = jnp.stack(top_i_list, axis=1)
-    cy = jnp.arange(ncy * ncx, dtype=jnp.int32) // ncx
-    cx = jnp.arange(ncy * ncx, dtype=jnp.int32) % ncx
-    ys = cy[:, None] * cell + top_i // cell
-    xs = cx[:, None] * cell + top_i % cell
-    return top_s.reshape(-1), ys.reshape(-1), xs.reshape(-1)
+        cells = jnp.where(col == i[..., None], -jnp.inf, cells)
+    top_s = jnp.stack(top_s_list, axis=-1)  # [..., nc, k]
+    top_i = jnp.stack(top_i_list, axis=-1)
+    cy = (jnp.arange(nc, dtype=jnp.int32) // ncx).reshape((1,) * len(lead) + (nc, 1))
+    cx = (jnp.arange(nc, dtype=jnp.int32) % ncx).reshape((1,) * len(lead) + (nc, 1))
+    ys = cy * cell + top_i // cell
+    xs = cx * cell + top_i % cell
+    return (
+        top_s.reshape(lead + (nc * k_cell,)),
+        ys.reshape(lead + (nc * k_cell,)),
+        xs.reshape(lead + (nc * k_cell,)),
+    )
 
 
 def _extract_level(img: jax.Array, k_level: int, cfg: OrbConfig):
@@ -151,18 +195,22 @@ def _extract_level(img: jax.Array, k_level: int, cfg: OrbConfig):
     m10, m01 = _ic_angle_maps(img)
     angle = jnp.arctan2(m01[ky, kx], m10[ky, kx])
 
-    # steered BRIEF on the blurred level
+    # steered pool-BRIEF on the blurred level: one gather per pool point,
+    # pair comparisons realized as one-hot matmuls (see _brief_pool_and_pairs)
     blurred = image_ops.gaussian_blur(img, sigma=2.0, radius=3)
-    pat = jnp.asarray(_PATTERN, jnp.float32)  # [256, 2, 2]
+    pool = jnp.asarray(_POOL)  # [P, 2]
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # [K]
-    # rotate pattern per keypoint: [K, 256, 2(pair), 2(xy)]
-    px, py = pat[..., 0], pat[..., 1]  # [256, 2]
-    rx = ca[:, None, None] * px[None] - sa[:, None, None] * py[None]
-    ry = sa[:, None, None] * px[None] + ca[:, None, None] * py[None]
-    sx = jnp.clip(jnp.round(kx[:, None, None] + rx).astype(jnp.int32), 0, w - 1)
-    sy = jnp.clip(jnp.round(ky[:, None, None] + ry).astype(jnp.int32), 0, h - 1)
-    vals = blurred[sy, sx]  # [K, 256, 2]
-    bits = vals[..., 0] < vals[..., 1]  # [K, 256]
+    px, py = pool[:, 0], pool[:, 1]  # [P]
+    rx = ca[:, None] * px[None] - sa[:, None] * py[None]  # [K, P]
+    ry = sa[:, None] * px[None] + ca[:, None] * py[None]
+    sx = jnp.clip(jnp.round(kx[:, None] + rx).astype(jnp.int32), 0, w - 1)
+    sy = jnp.clip(jnp.round(ky[:, None] + ry).astype(jnp.int32), 0, h - 1)
+    vals = blurred[sy, sx]  # [K, P]
+    va = jnp.einsum("kp,bp->kb", vals, jnp.asarray(_SEL_A),
+                    precision=jax.lax.Precision.HIGHEST)
+    vb = jnp.einsum("kp,bp->kb", vals, jnp.asarray(_SEL_B),
+                    precision=jax.lax.Precision.HIGHEST)
+    bits = va < vb  # [K, 256]
     desc = jnp.where(bits, jnp.int8(1), jnp.int8(-1))
     desc = jnp.where(valid[:, None], desc, jnp.int8(0))
 

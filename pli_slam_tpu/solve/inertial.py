@@ -60,6 +60,25 @@ class Extrinsics:
     def identity() -> "Extrinsics":
         return Extrinsics(R_cb=jnp.eye(3), t_cb=jnp.zeros(3))
 
+    @staticmethod
+    def from_Tbc(Tbc) -> "Extrinsics":
+        """From the body->camera transform T_bc (reference IMU::Calib Tbc,
+        parsed in src/Tracking.cc:761): T_cb = T_bc^-1. Accepts a 4x4
+        array or 16 row-major floats; None means identity."""
+        if Tbc is None:
+            return Extrinsics.identity()
+        T = jnp.asarray(Tbc, jnp.float32).reshape(4, 4)
+        R_bc = T[:3, :3]
+        t_bc = T[:3, 3]
+        return Extrinsics(R_cb=R_bc.T, t_cb=-lie._einsum("ij,j->i", R_bc.T, t_bc))
+
+
+def body_state_from_camera(R_cw, t_cw, v_w, bg, ba, ext: "Extrinsics") -> "BodyState":
+    """Invert camera_pose(): recover the body state from T_cw + T_cb."""
+    R_wb = lie._mm(R_cw.T, ext.R_cb)
+    p_w = lie._einsum("ij,j->i", R_cw.T, ext.t_cb - t_cw)
+    return BodyState(R_wb=R_wb, p_w=p_w, v_w=v_w, bg=bg, ba=ba)
+
 
 def camera_pose(state: BodyState, ext: Extrinsics) -> tuple[jax.Array, jax.Array]:
     """T_cw from body state: x_c = R_cb R_bw (x_w - p_w) + t_cb."""

@@ -13,9 +13,10 @@ the dense reduced system [15W, 15W] — still tiny (W<=10 -> 150^2).
 Visual Jacobians are the analytic ones from solve/ba.py; each IMU factor
 is a 15-dim residual `jacfwd`-ed over its two poses' 30 state dofs
 (vmapped over the chain). Both parts share the same left-multiplicative
-T_cw twist parametrization, so no frame conversions are needed
-(identity body->camera extrinsics; the synthetic rig and rectified
-EuRoC-after-Tbc both satisfy this).
+T_cw twist parametrization; the IMU factor converts camera->body through
+the fixed body-camera extrinsics T_cb (reference ImuCamPose,
+src/G2oTypes.cc) inside the residual, so the chain rule to the camera
+twist is handled by the same jacfwd.
 """
 
 from __future__ import annotations
@@ -46,6 +47,8 @@ class VIBAProblem:
     preint: imu_ops.Preintegrated  # stacked [W-1, ...] chain factors
     imu_mask: jax.Array  # [W-1] bool — factor between k and k+1 valid
     gravity_w: jax.Array  # [3]
+    R_cb: jax.Array  # [3,3] body->camera rotation (Extrinsics)
+    t_cb: jax.Array  # [3]
 
 
 def _imu_chain_residual(prob: VIBAProblem, R, t, v, bg, ba_, k, delta_i, delta_j, imu_cfg: ImuConfig):
@@ -59,11 +62,11 @@ def _imu_chain_residual(prob: VIBAProblem, R, t, v, bg, ba_, k, delta_i, delta_j
 
     Ri, ti, vi, bgi, bai = perturb(R[k], t[k], v[k], bg[k], ba_[k], delta_i)
     Rj, tj, vj, bgj, baj = perturb(R[k + 1], t[k + 1], v[k + 1], bg[k + 1], ba_[k + 1], delta_j)
-    # body states (identity extrinsics): R_wb = R_cw^T, p = -R_cw^T t
-    Rwi = Ri.T
-    pwi = -lie._einsum("ij,j->i", Ri.T, ti)
-    Rwj = Rj.T
-    pwj = -lie._einsum("ij,j->i", Rj.T, tj)
+    # camera -> body through T_cb: R_wb = R_cw^T R_cb, p = R_cw^T (t_cb - t_cw)
+    Rwi = lie._mm(Ri.T, prob.R_cb)
+    pwi = lie._einsum("ij,j->i", Ri.T, prob.t_cb - ti)
+    Rwj = lie._mm(Rj.T, prob.R_cb)
+    pwj = lie._einsum("ij,j->i", Rj.T, prob.t_cb - tj)
     pre_k = jax.tree_util.tree_map(lambda x: x[k], prob.preint)
     from pli_slam_tpu.solve import residuals as res
 

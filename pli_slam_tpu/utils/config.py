@@ -43,9 +43,9 @@ class LineConfig:
     # Hough-based detector (TPU-native replacement for LSD region growing)
     theta_bins: int = 180
     rho_res: float = 2.0
-    n_voters: int = 32768  # strongest edge pixels that cast Hough votes
-    n_candidates: int = 512  # Hough peaks considered before segment NMS
-    n_samples: int = 512  # along-line support samples per candidate
+    n_voters: int = 16384  # strongest edge pixels that cast Hough votes
+    n_candidates: int = 256  # Hough peaks considered before segment NMS
+    n_samples: int = 384  # along-line support samples per candidate
     support_angle_deg: float = 22.5
     max_gap: int = 4  # tolerated support gap, in samples
     sigma_px: float = 2.0  # endpoint-to-line measurement noise (Hough sample quantization)
@@ -115,6 +115,10 @@ class ImuConfig:
     gravity: float = 9.81
     max_samples_per_frame: int = 32  # padded preintegration batch per frame
     init_time_sec: float = 2.0  # min data span before IMU init
+    # Body->camera extrinsics T_bc as 16 row-major floats (None = identity).
+    # The reference parses this as "Tbc" from the YAML (src/Tracking.cc:761)
+    # into IMU::Calib; EuRoC's actual value has a ~90 deg rotation component.
+    Tbc: tuple | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -197,15 +201,8 @@ def load_yaml(path: str) -> SlamConfig:
     Supports the subset of keys the pipeline consumes; unknown keys are
     ignored (the reference likewise ignores unknown FileStorage nodes).
     """
-    import re
-
-    kv: dict[str, str] = {}
-    with open(path) as f:
-        for line in f:
-            line = line.split("#", 1)[0].strip()
-            m = re.match(r"([A-Za-z0-9_.]+)\s*:\s*(.+)", line)
-            if m:
-                kv[m.group(1)] = m.group(2).strip().strip('"')
+    kv = parse_yaml_flat(path)
+    mats = parse_yaml_matrices(path)
 
     def get(key: str, default, cast=float):
         return cast(kv[key]) if key in kv else default
@@ -217,12 +214,14 @@ def load_yaml(path: str) -> SlamConfig:
         fast_threshold=get("ORBextractor.iniThFAST", 20, int),
         fast_min_threshold=get("ORBextractor.minThFAST", 7, int),
     )
+    tbc = mats.get("Tbc")
     imu = ImuConfig(
         rate_hz=get("IMU.Frequency", 200.0),
         noise_gyro=get("IMU.NoiseGyro", 1.7e-4),
         noise_acc=get("IMU.NoiseAcc", 2e-3),
         walk_gyro=get("IMU.GyroWalk", 1.94e-5),
         walk_acc=get("IMU.AccWalk", 3e-3),
+        Tbc=tuple(float(x) for x in tbc[1]) if tbc is not None else None,
     )
     return SlamConfig(
         width=get("Camera.width", 752, int),
@@ -233,3 +232,44 @@ def load_yaml(path: str) -> SlamConfig:
         orb=orb,
         imu=imu,
     )
+
+
+def parse_yaml_flat(path: str) -> dict[str, str]:
+    """Scalar `key: value` pairs from a reference-style YAML (the subset
+    cv::FileStorage emits for scalar nodes)."""
+    import re
+
+    kv: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].rstrip()
+            m = re.match(r"([A-Za-z0-9_.]+)\s*:\s*(.+)", line.strip())
+            if m and "opencv-matrix" not in m.group(2):
+                kv[m.group(1)] = m.group(2).strip().strip('"')
+    return kv
+
+
+def parse_yaml_matrices(path: str) -> dict[str, tuple[tuple[int, int], list[float]]]:
+    """`!!opencv-matrix` nodes (rows/cols/data) from a reference-style
+    YAML — the format of Tbc and the LEFT./RIGHT. K/D/R/P rectification
+    blocks (reference: src/Tracking.cc:144-770 FileStorage reads,
+    Examples/Stereo-Inertial/Config/EuRoC.yaml:55-104).
+
+    Returns {name: ((rows, cols), data_row_major)}.
+    """
+    import re
+
+    text = open(path).read()
+    out: dict[str, tuple[tuple[int, int], list[float]]] = {}
+    pat = re.compile(
+        r"([A-Za-z0-9_.]+)\s*:\s*!!opencv-matrix\s*\n"
+        r"\s*rows\s*:\s*(\d+)\s*\n\s*cols\s*:\s*(\d+)\s*\n"
+        r"\s*dt\s*:\s*\w+\s*\n\s*data\s*:\s*\[([^\]]*)\]",
+        re.MULTILINE,
+    )
+    for m in pat.finditer(text):
+        name = m.group(1)
+        rows, cols = int(m.group(2)), int(m.group(3))
+        data = [float(x) for x in m.group(4).replace("\n", " ").split(",") if x.strip()]
+        out[name] = ((rows, cols), data)
+    return out

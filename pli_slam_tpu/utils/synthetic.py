@@ -161,16 +161,27 @@ def make_sequence(
     imu_rate: float = 200.0,
     room_half: float = ROOM_HALF,
     with_depth: bool = False,
+    Tbc: np.ndarray | None = None,
 ):
-    """Generator yielding per-frame dicts with stereo images, gt pose, imu batch."""
+    """Generator yielding per-frame dicts with stereo images, gt pose, imu batch.
+
+    With `Tbc` (4x4 body->camera transform), `traj` describes the BODY
+    (IMU) trajectory and the rendered camera rides at T_wc = T_wb * Tbc
+    — the EuRoC rig geometry (the reference parses Tbc into IMU::Calib,
+    src/Tracking.cc:761). IMU samples are always in the body frame.
+    """
     traj = traj or Trajectory()
     baseline = float(cam.bf / cam.fx)
     render = jax.jit(partial(render_view, room_half=room_half))
     render_d = jax.jit(partial(render_depth, room_half=room_half)) if with_depth else None
     n_imu = int(round(imu_rate / fps))
+    R_bc = np.eye(3, dtype=np.float32) if Tbc is None else np.asarray(Tbc, np.float32)[:3, :3]
+    t_bc = np.zeros(3, np.float32) if Tbc is None else np.asarray(Tbc, np.float32)[:3, 3]
     for k in range(n_frames):
         t = k / fps
-        R_wc, p_w = traj.pose(t)
+        R_wb, p_wb = traj.pose(t)
+        R_wc = R_wb @ R_bc
+        p_w = p_wb + R_wb @ t_bc
         R_wc_j = jnp.asarray(R_wc, jnp.float32)
         p_w_j = jnp.asarray(p_w, jnp.float32)
         # right camera displaced along camera +x

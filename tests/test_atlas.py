@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pli_slam_tpu.ops import lie
 from pli_slam_tpu.utils.config import SlamConfig
 from pli_slam_tpu.worldmap import atlas as atlas_mod

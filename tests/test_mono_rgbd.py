@@ -12,6 +12,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pli_slam_tpu.frontend.tracker import Tracker, TrackingState
 from pli_slam_tpu.ops.camera import Camera
 from pli_slam_tpu.utils import synthetic

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pli_slam_tpu.ops.camera import Camera
 from pli_slam_tpu.system import System
 from pli_slam_tpu.utils import synthetic

@@ -51,6 +51,8 @@ def build_vi_problem(rng, cam, W=4):
         preint=preint,
         imu_mask=jnp.ones(W - 1, bool),
         gravity_w=jnp.asarray(g_w),
+        R_cb=jnp.eye(3),
+        t_cb=jnp.zeros(3),
     )
     return viprob, R_true, t_true, pts_true, v_true
 
