@@ -60,6 +60,34 @@ def match_kf_landmarks(
     return xa, xb, ok
 
 
+def match_cross_map(
+    ks_a: st.KeyFrameStore, ps_a: st.PointStore, kf_a,
+    ks_b: st.KeyFrameStore, ps_b: st.PointStore, kf_b, max_dist=60.0,
+):
+    """3D-3D correspondences between keyframes of two DIFFERENT maps
+    (Atlas merge verification — reference MergeLocal's SearchByBoW stage,
+    src/LoopClosing.cc:1096). Same structure as match_kf_landmarks but
+    each side indexes its own stores.
+
+    Returns (x [S,3] map-a world pts, y [S,3] map-b pts, idx_b [S] map-b
+    landmark ids, mask [S]); row i also carries map-a landmark id via
+    ks_a.obs_pt[kf_a].
+    """
+    ia = ks_a.obs_pt[kf_a]
+    ib = ks_b.obs_pt[kf_b]
+    va = (ia >= 0) & ps_a.valid[jnp.maximum(ia, 0)]
+    vb = (ib >= 0) & ps_b.valid[jnp.maximum(ib, 0)]
+    da = ps_a.desc[jnp.maximum(ia, 0)]
+    db = ps_b.desc[jnp.maximum(ib, 0)]
+    dist = matching.hamming_matrix(da, db)
+    idx, best, ok = matching.match_nn(dist, va, vb, max_dist=max_dist, ratio=0.9)
+    ok = matching.mutual_consistency(idx, ok, dist, va, vb)
+    xa = ps_a.x[jnp.maximum(ia, 0)]
+    xb = ps_b.x[jnp.maximum(ib[idx], 0)]
+    ok = ok & va & vb[idx]
+    return xa, xb, jnp.where(ok, ib[idx], -1), ok
+
+
 def apply_loop_correction(
     kstore: st.KeyFrameStore,
     pstore: st.PointStore,
@@ -213,9 +241,15 @@ class LoopCloser:
         if cfg.loop.run_gba:
             from pli_slam_tpu.frontend import tracker as trk
 
-            tracker.kstore, tracker.pstore, tracker.lstore = trk.global_ba(
-                tracker.cam, cfg, tracker.kstore, tracker.pstore, tracker.lstore
-            )
+            if inertial:
+                # inertial maps refine velocities/biases jointly after the
+                # pose-graph correction (reference dispatches FullInertialBA
+                # from RunGlobalBundleAdjustment, src/LoopClosing.cc:2250)
+                tracker._full_inertial_ba()
+            else:
+                tracker.kstore, tracker.pstore, tracker.lstore = trk.global_ba(
+                    tracker.cam, cfg, tracker.kstore, tracker.pstore, tracker.lstore
+                )
         # tracking continues from the corrected keyframe pose
         tracker.R = tracker.kstore.R[kf_slot]
         tracker.t = tracker.kstore.t[kf_slot]

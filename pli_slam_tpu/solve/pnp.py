@@ -69,19 +69,34 @@ def ransac_pnp(
 def solve_pnp(
     cam, x_w, uv, u_right, stereo_mask, depth_seed, sigma2, mask, key,
     opt_cfg: OptimizerConfig | None = None,
+    inlier_px: float = 4.0, min_inliers: int = 15,
 ):
-    """RANSAC + GN polish (the reference's iterate->PoseOptimization loop)."""
+    """RANSAC + GN polish (the reference's iterate->PoseOptimization loop).
+
+    `inlier_px` must budget for LANDMARK position noise seen from a novel
+    viewpoint, not just detector noise — relocalization uses ~2x the
+    tracking gate (the reference's per-octave chi2 scaling plays the
+    same role, src/MLPnPsolver.h:65 RANSAC parameters)."""
     from pli_slam_tpu.solve import gn
 
     opt_cfg = opt_cfg or OptimizerConfig()
-    R0, t0, inl, n_in, ok = ransac_pnp(cam, x_w, uv, depth_seed, mask, key)
+    R0, t0, inl, n_in, ok = ransac_pnp(
+        cam, x_w, uv, depth_seed, mask, key,
+        inlier_px=inlier_px, min_inliers=min_inliers,
+    )
     n_l = 8
+    # the polish must model the ASSOCIATION noise the RANSAC gate
+    # accepted (landmark position error seen from a novel viewpoint),
+    # not the ~1 px detector noise — otherwise the robust weights treat
+    # every genuine inlier as an outlier and the GN wanders off the
+    # RANSAC optimum
+    sigma2_eff = sigma2 * jnp.maximum((inlier_px / 2.0) ** 2, 1.0)
     obs = gn.PoseObservations(
         x_w=x_w,
         uvr=jnp.concatenate([uv, u_right[:, None]], axis=-1),
         stereo_mask=stereo_mask,
         point_mask=inl,
-        sigma2_pt=sigma2,
+        sigma2_pt=sigma2_eff,
         xs_w=jnp.zeros((n_l, 3)), xe_w=jnp.zeros((n_l, 3)),
         l_obs=jnp.zeros((n_l, 3)), line_mask=jnp.zeros(n_l, bool),
         sigma2_ln=jnp.ones(n_l),

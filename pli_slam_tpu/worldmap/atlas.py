@@ -35,6 +35,10 @@ class MapBundle:
     lstore: st.LineStore
     kstore: st.KeyFrameStore
     n_kf: int = 0
+    # parked maps keep their BoW database alive so place recognition can
+    # re-find them for merging (round-2 verdict: resetting the DB on
+    # new-map made Atlas recovery amnesia)
+    bow_db: object = None
 
     @staticmethod
     def empty(cfg: SlamConfig) -> "MapBundle":
@@ -67,7 +71,8 @@ class Atlas:
         self.active_idx = len(self.maps) - 1
         return self.active
 
-    def merge_active_into(self, target_idx: int, R_rel: jax.Array, t_rel: jax.Array) -> MapBundle:
+    def merge_active_into(self, target_idx: int, R_rel: jax.Array, t_rel: jax.Array,
+                          fuse_src=None, fuse_dst=None) -> MapBundle:
         """Weld the active map into maps[target_idx].
 
         (R_rel, t_rel) maps ACTIVE-map world coordinates into TARGET-map
@@ -79,15 +84,25 @@ class Atlas:
         """
         src = self.active
         dst = self.maps[target_idx]
-        dst_merged = merge_maps(dst, src, R_rel, t_rel)
+        dst_merged = merge_maps(dst, src, R_rel, t_rel, fuse_src, fuse_dst)
         self.maps[target_idx] = dst_merged
         self.maps.pop(self.active_idx)
         self.active_idx = target_idx if target_idx < self.active_idx else target_idx - 1
         return self.active
 
 
-def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel) -> MapBundle:
-    """Pure function: copy src (transformed) into dst's free slots."""
+def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel,
+               fuse_src=None, fuse_dst=None) -> MapBundle:
+    """Pure function: copy src (transformed) into dst's free slots.
+
+    `fuse_src`/`fuse_dst` ([M] int32, -1 padded) identify src point
+    landmarks verified to BE dst landmarks (the Sim3 inlier matches):
+    instead of copying, their observations are remapped onto the dst
+    landmark — the reference's duplicate fusion in
+    LoopClosing::SearchAndFuse / MergeLocal (src/LoopClosing.cc:2097).
+    These shared landmarks are what makes a post-merge welding BA
+    actually couple the two sides of the seam.
+    """
     # --- transform src geometry into dst world ---------------------------
     Rr_inv, tr_inv = lie.se3_inverse(R_rel, t_rel)
     src_pts = lie._einsum("ij,nj->ni", R_rel, src.pstore.x) + t_rel
@@ -108,9 +123,21 @@ def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel) -> MapBundle:
         # mapping src row -> dst row (or -1)
         return slots, ok
 
-    pt_slots, pt_ok = remap_into(dst.pstore.valid, src.pstore.valid)
+    # fused src points take the dst landmark's id instead of a fresh slot
+    P_cap = src.pstore.x.shape[0]
+    fuse_map = jnp.full(P_cap, -1, jnp.int32)
+    if fuse_src is not None:
+        fs = jnp.asarray(fuse_src, jnp.int32)
+        fd = jnp.asarray(fuse_dst, jnp.int32)
+        fuse_map = fuse_map.at[jnp.maximum(fs, 0)].set(
+            jnp.where(fs >= 0, fd, fuse_map[jnp.maximum(fs, 0)])
+        )
+    want_pt = src.pstore.valid & (fuse_map < 0)
+    pt_slots, pt_ok = remap_into(dst.pstore.valid, want_pt)
     ln_slots, ln_ok = remap_into(dst.lstore.valid, src.lstore.valid)
     kf_slots, kf_ok = remap_into(dst.kstore.valid, src.kstore.valid)
+    # full src->dst point map for observation re-indexing
+    pt_map = jnp.where(fuse_map >= 0, fuse_map, pt_slots)
 
     def scatter_rows(dst_arr, src_arr, slots, ok):
         safe = jnp.maximum(slots, 0)
@@ -138,6 +165,13 @@ def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel) -> MapBundle:
         valid=scatter_rows(ls.valid, src.lstore.valid, ln_slots, ln_ok),
         n_obs=scatter_rows(ls.n_obs, src.lstore.n_obs, ln_slots, ln_ok),
     )
+    ln_first = jnp.maximum(kf_slots[jnp.clip(src.lstore.first_kf, 0, kf_slots.shape[0] - 1)], 0)
+    ln_last = jnp.maximum(kf_slots[jnp.clip(src.lstore.last_kf, 0, kf_slots.shape[0] - 1)], 0)
+    ls = dataclasses.replace(
+        ls,
+        first_kf=scatter_rows(ls.first_kf, ln_first, ln_slots, ln_ok),
+        last_kf=scatter_rows(ls.last_kf, ln_last, ln_slots, ln_ok),
+    )
 
     # --- keyframes with re-indexed observation tables ---------------------
     # src obs_pt holds src-point ids; map through pt_slots (gather), -1 safe
@@ -146,7 +180,7 @@ def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel) -> MapBundle:
         mapped = lm_slots[safe]
         return jnp.where(obs_src >= 0, mapped, -1)
 
-    obs_pt_new = remap_obs(src.kstore.obs_pt, pt_slots)
+    obs_pt_new = remap_obs(src.kstore.obs_pt, pt_map)
     obs_ln_new = remap_obs(src.kstore.obs_ln, ln_slots)
     # also remap landmark->kf anchors
     ps = dataclasses.replace(
@@ -172,5 +206,51 @@ def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel) -> MapBundle:
         obs_l=scatter_rows(ks.obs_l, src.kstore.obs_l, kf_slots, kf_ok),
         obs_ln_sigma2=scatter_rows(ks.obs_ln_sigma2, src.kstore.obs_ln_sigma2, kf_slots, kf_ok),
     )
-    n_kf = int(jnp.sum(ks.valid.astype(jnp.int32)))
-    return MapBundle(pstore=ps, lstore=ls, kstore=ks, n_kf=max(dst.n_kf, n_kf))
+    # --- covisibility graph + landmark->KF incidence bitsets --------------
+    # permutation P[j, i] = 1 where src KF i landed in dst slot j; the src
+    # covis block and the per-landmark KF bitsets transport through it as
+    # matmuls (no scatters)
+    K = ks.covis.shape[0]
+    safe_kf = jnp.maximum(kf_slots, 0)
+    P = (
+        jnp.zeros((K, K), jnp.int32)
+        .at[safe_kf, jnp.arange(K)]
+        .add(kf_ok.astype(jnp.int32))
+    )
+    covis_src = jnp.einsum("ji,ik->jk", P, src.kstore.covis, precision=_HI)
+    covis_src = jnp.einsum("jk,lk->jl", covis_src, P, precision=_HI)
+    ks = dataclasses.replace(ks, covis=ks.covis + covis_src)
+    KW = ps.obs_bits.shape[1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    src_bits = ((src.pstore.obs_bits[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
+    src_bits = src_bits.reshape(src.pstore.obs_bits.shape[0], -1)[:, :K].astype(jnp.int32)
+    new_bits = jnp.einsum("pi,ji->pj", src_bits, P, precision=_HI)  # [P, K]
+    padded = jnp.pad(new_bits, ((0, 0), (0, KW * 32 - K))).reshape(-1, KW, 32)
+    repacked = jnp.sum(
+        padded.astype(jnp.uint32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
+    )
+    ps = dataclasses.replace(
+        ps, obs_bits=scatter_rows(ps.obs_bits, repacked, pt_slots, pt_ok)
+    )
+    if fuse_src is not None:
+        # fused landmarks: accumulate the src observations onto the dst row
+        fs_safe = jnp.maximum(fs, 0)
+        fd_safe = jnp.maximum(fd, 0)
+        fok = (fs >= 0) & (fd >= 0)
+        ps = dataclasses.replace(
+            ps,
+            n_obs=ps.n_obs.at[fd_safe].add(
+                jnp.where(fok, src.pstore.n_obs[fs_safe], 0)
+            ),
+            obs_bits=ps.obs_bits.at[fd_safe].set(
+                jnp.where(
+                    fok[:, None],
+                    ps.obs_bits[fd_safe] | repacked[fs_safe],
+                    ps.obs_bits[fd_safe],
+                )
+            ),
+        )
+    # next-free-slot semantics: the tracker inserts keyframes at slot
+    # n_kf, so it must point past the highest occupied slot
+    n_next = int(jnp.max(jnp.where(ks.valid, jnp.arange(K), -1))) + 1
+    return MapBundle(pstore=ps, lstore=ls, kstore=ks, n_kf=max(dst.n_kf, n_next))
