@@ -202,32 +202,49 @@ class LoopCloser:
             )
         )
 
-    def on_keyframe(self, tracker, kf_slot: int, best: int, best_score: float) -> bool:
-        """Consume the fused step's loop candidate for keyframe kf_slot.
-        Returns True if a loop was verified and closed (tracker stores
-        updated in place)."""
+    def on_keyframe(self, tracker, kf_slot: int, candidates) -> bool:
+        """Consume the fused step's loop candidates for keyframe kf_slot
+        (list of (slot, bow_score), best first — the reference verifies
+        the 3 best BoW candidates, DetectNBestCandidates(3) ->
+        DetectCommonRegionsFromBoW, src/LoopClosing.cc:395-476). Returns
+        True if a loop was verified and closed (tracker stores updated in
+        place)."""
         cfg = self.cfg
         if kf_slot - self._last_closed_kf < cfg.loop.min_kf_gap:
             return False
-        if best < 0 or best_score < 0.15:
+        candidates = [(s, sc) for s, sc in candidates if s >= 0 and sc >= 0.15]
+        if not candidates:
             self._consistency = 0
             self._consistent_with = -1
             return False
-        # temporal consistency: the hit must persist across consecutive KFs
-        if self._consistent_with >= 0 and abs(best - self._consistent_with) <= 3:
+        # temporal consistency: SOME candidate must persist near the same
+        # past keyframe across consecutive KFs
+        best = -1
+        for s, sc in candidates:
+            if self._consistent_with >= 0 and abs(s - self._consistent_with) <= 3:
+                best = s
+                break
+        if best >= 0:
             self._consistency += 1
+            self._consistent_with = best
         else:
             self._consistency = 1
-        self._consistent_with = best
+            self._consistent_with = candidates[0][0]
         if self._consistency < cfg.loop.consistency_kfs:
             return False
 
-        # geometric verification
-        x, y, m = self._match(tracker.kstore, tracker.pstore, kf_slot, best)
-        key = jax.random.PRNGKey(kf_slot)
-        R_rel, t_rel, s_rel, inl, n_in = self._ransac(x, y, m, key)
-        if int(n_in) < cfg.loop.sim3_min_inliers:
+        # geometric verification of each surviving candidate, best first
+        verified = None
+        for s, sc in candidates:
+            x, y, m = self._match(tracker.kstore, tracker.pstore, kf_slot, s)
+            key = jax.random.PRNGKey(kf_slot * 7 + s)
+            R_rel, t_rel, s_rel, inl, n_in = self._ransac(x, y, m, key)
+            if int(n_in) >= cfg.loop.sim3_min_inliers:
+                verified = (s, R_rel, t_rel)
+                break
+        if verified is None:
             return False
+        best, R_rel, t_rel = verified
 
         inertial = bool(getattr(tracker, "imu_ready", False))
         tracker.kstore, tracker.pstore, tracker.lstore = apply_loop_correction(

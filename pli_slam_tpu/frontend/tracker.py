@@ -137,6 +137,35 @@ def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointS
     return res2.R_cw, res2.t_cw, pt_idx, pt_in, ln_idx, ln_in, n_in, pstore, lstore
 
 
+def far_point_depths(cam, cfg: SlamConfig, frame: FrameData, R, t, kf_view):
+    """Depth channel for features beyond reliable stereo range, confirmed
+    by epipolar triangulation against the previous keyframe's view
+    (reference: LocalMapping::CreateNewMapPoints src/LocalMapping.cc:343 +
+    ORBmatcher::SearchForTriangulation — far points need a second view).
+
+    `kf_view` = (uv [N,2], desc [N,256], valid [N], R_kf, t_kf) of the
+    last keyframe. Returns [N] triangulated depth in the CURRENT camera
+    (-1 where unconfirmed).
+    """
+    from pli_slam_tpu.solve import triangulate as tri
+
+    kf_uv, kf_desc, kf_valid, R_kf, t_kf = kf_view
+    dist = matching.hamming_matrix(frame.feats.desc, kf_desc)
+    idx, best, ok = matching.match_nn(
+        dist, frame.feats.valid, kf_valid, max_dist=cfg.match.orb_th_low, ratio=0.8
+    )
+    ok = matching.mutual_consistency(idx, ok, dist, frame.feats.valid, kf_valid)
+    uv1 = kf_uv[jnp.maximum(idx, 0)]
+    ray1 = cam_ops.unproject(cam, uv1)
+    ray2 = cam_ops.unproject(cam, frame.feats.uv)
+    X = tri.triangulate_dlt(R_kf, t_kf, R, t, ray1, ray2)
+    good = tri.triangulation_checks(
+        cam, R_kf, t_kf, R, t, X, uv1, frame.feats.uv, frame.sigma2, frame.sigma2
+    )
+    z = lie.se3_apply(R, t, X)[:, 2]
+    return jnp.where(ok & good & (z > 0.05), z, -1.0)
+
+
 def insert_keyframe(
     cam,
     cfg: SlamConfig,
@@ -152,25 +181,42 @@ def insert_keyframe(
     pstore: st.PointStore,
     lstore: st.LineStore,
     kstore: st.KeyFrameStore,
+    tri_depth=None,
 ):
     """Create a keyframe: allocate new landmarks from stereo, write the
     observation tables, update landmark bookkeeping, cull bad landmarks.
 
     (reference: Tracking::CreateNewKeyFrame :3573 + StereoInitialization
     landmark creation + LocalMapping::MapPointCulling :301)
+
+    `tri_depth` [N] (-1 invalid): triangulated depths from
+    far_point_depths — the creation channel for features beyond the
+    close-stereo cap, mirroring the reference's two-view far points.
     """
     R_wc = R.T
     t_wc = -lie._einsum("ij,j->i", R.T, t)
 
     # ---- new point landmarks from unmatched features with depth ---------
-    # The reference gates close-point creation at mThDepth=40*baseline and
-    # relies on LocalMapping triangulation for far points; until the
-    # triangulation stage exists, allow deeper stereo landmarks.
-    # Depth is the creation channel for every sensor: stereo disparity,
-    # RGB-D lookup, or mono triangulation against the last keyframe (the
-    # mono path carries bf=0, where no depth cap applies).
+    # Close points create directly from stereo depth (reference gates at
+    # mThDepth ~ 40*baseline; we keep a looser 120*baseline cap). Farther
+    # features need triangulated confirmation from a second view.
     max_depth = jnp.where(cam.bf > 0, 120.0 * cam.bf / cam.fx, jnp.inf)
     depth_ok = (frame.depth > 0) & (frame.depth < max_depth)
+    if tri_depth is not None:
+        far_ok = (tri_depth > 0) & ~depth_ok
+        # far stereo depths agreeing with triangulation use the (metric)
+        # stereo value; otherwise the triangulated depth itself
+        agree = (frame.depth > 0) & (
+            jnp.abs(frame.depth - tri_depth) < 0.25 * jnp.maximum(tri_depth, 1e-3)
+        )
+        frame = dataclasses.replace(
+            frame,
+            depth=jnp.where(
+                depth_ok, frame.depth,
+                jnp.where(far_ok, jnp.where(agree, frame.depth, tri_depth), -1.0),
+            ),
+        )
+        depth_ok = frame.depth > 0
     want_new = frame.feats.valid & depth_ok & ~(pt_in & (pt_idx >= 0))
     x_c = cam_ops.unproject(cam, frame.feats.uv) * frame.depth[:, None]
     x_w = lie._einsum("ij,nj->ni", R_wc, x_c) + t_wc
@@ -634,7 +680,7 @@ def _mono_triangulated_depths(
 # loop verification) stay on the host, exactly as planned in SURVEY.md
 # §7.3 item 3 — but the 99% path never leaves the device.
 
-# stats vector layout (f32[12])
+# stats vector layout (f32[16])
 ST_OK = 0  # tracking ok (inliers >= floor)
 ST_NIN = 1  # inlier count
 ST_NKF = 2  # keyframe count after this frame
@@ -644,10 +690,11 @@ ST_NPTS = 5  # valid points in store
 ST_NLNS = 6  # valid lines in store
 ST_FSKF = 7  # frames since last KF (after this frame)
 ST_LASTKFIN = 8  # reference inlier count of the last KF
-ST_LOOP_SLOT = 9  # best loop candidate KF slot (-1 none)
-ST_LOOP_SCORE = 10  # its combined BoW score
-ST_KF_SLOT = 11  # slot of the created KF (-1)
-N_STATS = 12
+ST_LOOP_SLOT = 9  # 3 best loop candidate KF slots (-1 none), 9..11
+ST_LOOP_SCORE = 12  # their combined BoW scores, 12..14
+ST_KF_SLOT = 15  # slot of the created KF (-1)
+N_LOOP_CANDS = 3  # reference DetectNBestCandidates(3), LoopClosing.cc:395
+N_STATS = 16
 
 
 def _device_cull_keyframes(cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, n_kf):
@@ -719,10 +766,18 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
 
     def kf_branch(args):
         (frame, stamp, R, t, pt_idx, pt_in, ln_idx, ln_in,
-         n_kf, n_in, pstore, lstore, kstore, bow_db) = args
+         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view) = args
+        # far-point creation channel: triangulate against the previous
+        # keyframe's view (reference CreateNewMapPoints); only meaningful
+        # once a previous KF exists
+        tri_depth = jnp.where(
+            n_kf > 0,
+            far_point_depths(cam, cfg, frame, R, t, kf_view),
+            jnp.full_like(frame.depth, -1.0),
+        ) if float(cam.bf) > 0 else None
         pstore, lstore, kstore, n_new = insert_keyframe(
             cam, cfg, frame, R, t, stamp, pt_idx, pt_in, ln_idx, ln_in,
-            n_kf, pstore, lstore, kstore,
+            n_kf, pstore, lstore, kstore, tri_depth,
         )
         n_kf2 = n_kf + 1
 
@@ -751,22 +806,25 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
         excl = (jnp.arange(K) >= jnp.maximum(n_kf2 - cfg.loop.min_kf_gap, 0)) | (
             kstore.covis[n_kf] > 10
         )
-        slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=1)
+        slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=N_LOOP_CANDS)
         can_loop = n_kf >= cfg.loop.min_kf_gap
-        loop_slot = jnp.where(can_loop, slots[0], -1)
-        loop_score = jnp.where(can_loop, scores[0], -1.0)
+        loop_slots = jnp.where(can_loop, slots, -1)
+        loop_scores = jnp.where(can_loop, scores, -1.0)
+        kf_view2 = (frame.feats.uv, frame.feats.desc, frame.feats.valid, R2, t2)
         return (R2, t2, pstore, lstore, kstore, bow_db,
-                n_kf2, n_new, loop_slot, loop_score)
+                n_kf2, n_new, loop_slots, loop_scores, kf_view2)
 
     def no_kf_branch(args):
         (frame, stamp, R, t, pt_idx, pt_in, ln_idx, ln_in,
-         n_kf, n_in, pstore, lstore, kstore, bow_db) = args
+         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view) = args
         return (R, t, pstore, lstore, kstore, bow_db,
-                n_kf, jnp.int32(0), jnp.int32(-1), jnp.float32(-1.0))
+                n_kf, jnp.int32(0),
+                jnp.full(N_LOOP_CANDS, -1, jnp.int32),
+                jnp.full(N_LOOP_CANDS, -1.0, jnp.float32), kf_view)
 
     def step(img_args, stamp, R, t, R_prev, t_prev, vel_xi, has_vel,
              n_kf, frames_since_kf, last_kf_inliers, allow_mapping,
-             pstore, lstore, kstore, bow_db):
+             pstore, lstore, kstore, bow_db, kf_view):
         frame = build(*img_args)
         # motion-model pose prediction (reference mVelocity seeding)
         dR, dt = lie.se3_exp(vel_xi)
@@ -798,9 +856,9 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
             & (n_kf < cfg.map.max_keyframes)
         )
         args = (frame, stamp, R_new, t_new, pt_idx, pt_in, ln_idx, ln_in,
-                n_kf, n_in, pstore, lstore, kstore, bow_db)
+                n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view)
         (R_new, t_new, pstore, lstore, kstore, bow_db,
-         n_kf2, n_new, loop_slot, loop_score) = jax.lax.cond(
+         n_kf2, n_new, loop_slot, loop_score, kf_view) = jax.lax.cond(
             need_kf, kf_branch, no_kf_branch, args
         )
         fs2 = jnp.where(need_kf, 0, fs)
@@ -816,16 +874,18 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
         stats = stats.at[ST_NLNS].set(jnp.sum(lstore.valid.astype(jnp.float32)))
         stats = stats.at[ST_FSKF].set(fs2.astype(jnp.float32))
         stats = stats.at[ST_LASTKFIN].set(last_in2.astype(jnp.float32))
-        stats = stats.at[ST_LOOP_SLOT].set(loop_slot.astype(jnp.float32))
-        stats = stats.at[ST_LOOP_SCORE].set(loop_score)
+        stats = jax.lax.dynamic_update_slice(
+            stats, loop_slot.astype(jnp.float32), (ST_LOOP_SLOT,)
+        )
+        stats = jax.lax.dynamic_update_slice(stats, loop_score, (ST_LOOP_SCORE,))
         stats = stats.at[ST_KF_SLOT].set(jnp.where(need_kf, n_kf2 - 1, -1).astype(jnp.float32))
         # counters are returned as device scalars so consecutive steps can
         # chain WITHOUT the host reading stats in between (lag-1 streaming)
         counters = (jnp.asarray(n_kf2, jnp.int32), jnp.asarray(fs2, jnp.int32),
                     jnp.asarray(last_in2, jnp.int32))
         return (R_new, t_new, R, t, vel_xi, has_vel,
-                pstore, lstore, kstore, bow_db, pt_idx, pt_in, ln_idx, ln_in,
-                counters, stats)
+                pstore, lstore, kstore, bow_db, kf_view,
+                pt_idx, pt_in, ln_idx, ln_in, counters, stats)
 
     return jax.jit(step)
 
@@ -913,9 +973,9 @@ class Tracker:
             bow_db = bow_db.add(kf_slot, bow_p, bow_l)
             K = bow_db.valid.shape[0]
             excl = jnp.arange(K) >= jnp.maximum(n_kf - cfg.loop.min_kf_gap, 0)
-            slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=1)
+            slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=N_LOOP_CANDS)
             can = kf_slot >= cfg.loop.min_kf_gap
-            return bow_db, jnp.where(can, slots[0], -1), jnp.where(can, scores[0], -1.0)
+            return bow_db, jnp.where(can, slots, -1), jnp.where(can, scores, -1.0)
 
         self._bow_kf = jax.jit(_bow_kf)
 
@@ -943,6 +1003,13 @@ class Tracker:
 
             self.loop_closer = LoopCloser(cfg)
         self.n_kf = 0
+        # last-KF view carried on device for the fused step's far-point
+        # triangulation channel (uv, desc, valid, R, t)
+        nfe = cfg.orb.n_features
+        self._kf_view_dev = (
+            jnp.zeros((nfe, 2)), jnp.zeros((nfe, 256), jnp.int8),
+            jnp.zeros(nfe, bool), jnp.eye(3), jnp.zeros(3),
+        )
         self._merge_streak = 0
         self._merge_map_idx = -1
         self._merge_kf = -1
@@ -1239,6 +1306,11 @@ class Tracker:
         self._preint_since_kf = None
         self._kf_preints = {}
         self._kf_views = []
+        nfe = self.cfg.orb.n_features
+        self._kf_view_dev = (
+            jnp.zeros((nfe, 2)), jnp.zeros((nfe, 256), jnp.int8),
+            jnp.zeros(nfe, bool), jnp.eye(3), jnp.zeros(3),
+        )
         # IMU must re-initialize on the fresh map (reference: the new map
         # starts NOT_INITIALIZED inertial-wise, Tracking::CreateMapInAtlas)
         self.imu_ready = False
@@ -1510,12 +1582,12 @@ class Tracker:
         LocalMapping/LoopClosing threads.
         """
         (R, t, R_prev, t_prev, vel_xi, has_vel_dev,
-         self.pstore, self.lstore, self.kstore, self.bow_db,
+         self.pstore, self.lstore, self.kstore, self.bow_db, self._kf_view_dev,
          pt_idx, pt_in, ln_idx, ln_in, counters, stats_dev) = self._step(
             img_args, stamp, self.R, self.t, self.R_prev, self.t_prev,
             self.vel_xi, self.has_vel,
             self.n_kf, self.frames_since_kf, self.last_kf_inliers, allow_mapping,
-            self.pstore, self.lstore, self.kstore, self.bow_db,
+            self.pstore, self.lstore, self.kstore, self.bow_db, self._kf_view_dev,
         )
         self.R, self.t, self.R_prev, self.t_prev = R, t, R_prev, t_prev
         self.vel_xi = vel_xi
@@ -1563,10 +1635,11 @@ class Tracker:
 
         if stats[ST_KF_CREATED] > 0:
             if self.loop_closer is not None:
-                self.loop_closer.on_keyframe(
-                    self, int(stats[ST_KF_SLOT]),
-                    int(stats[ST_LOOP_SLOT]), float(stats[ST_LOOP_SCORE]),
-                )
+                cands = [
+                    (int(stats[ST_LOOP_SLOT + c]), float(stats[ST_LOOP_SCORE + c]))
+                    for c in range(N_LOOP_CANDS)
+                ]
+                self.loop_closer.on_keyframe(self, int(stats[ST_KF_SLOT]), cands)
             self._try_merge(int(stats[ST_KF_SLOT]))
         info = {
             "state": self.state,
@@ -1860,12 +1933,16 @@ class Tracker:
             self._kf_views.pop(0)
         # BoW index + loop candidate (host-orchestrated sensors share the
         # same database the fused step maintains)
-        self.bow_db, slot, score = self._bow_kf(
+        self.bow_db, slots_, scores_ = self._bow_kf(
             self.bow_db, self.kstore, frame.feats.desc, frame.feats.valid,
             frame.lines.desc, frame.lines.valid, self.n_kf - 1, self.n_kf,
         )
         if self.loop_closer is not None:
-            self.loop_closer.on_keyframe(self, self.n_kf - 1, int(slot), float(score))
+            cands = [
+                (int(s_), float(sc_))
+                for s_, sc_ in zip(np.asarray(slots_), np.asarray(scores_))
+            ]
+            self.loop_closer.on_keyframe(self, self.n_kf - 1, cands)
         self._try_merge(self.n_kf - 1)
         self._cull_keyframes()
         return int(n_new)

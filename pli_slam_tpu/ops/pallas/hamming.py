@@ -32,10 +32,12 @@ def _kernel(
     sdesc_ref,  # [Pt, 256] int8 (store tile)
     suv_ref,  # [Pt, 2] f32 (projected store uv)
     svalid_ref,  # [Pt, 1] f32
-    params_ref,  # [1, 2] f32 in SMEM: (radius^2, tile_offset)
     best_ref,  # [N, 1] f32 out
     second_ref,  # [N, 1] f32 out
     idx_ref,  # [N, 1] i32 out
+    *,
+    r2: float,  # squared window radius (static)
+    tile: int,  # rows per store tile (static)
 ):
     t = pl.program_id(0)
 
@@ -54,7 +56,6 @@ def _kernel(
     )
     dist = (n_bits - dot).astype(jnp.float32) * 0.5  # [N, Pt]
 
-    r2 = params_ref[0, 0]
     du = fuv_ref[:, 0:1] - suv_ref[:, 0][None, :]
     dv = fuv_ref[:, 1:2] - suv_ref[:, 1][None, :]
     gate = (du * du + dv * dv) <= r2
@@ -72,8 +73,7 @@ def _kernel(
     prev_second = second_ref[:]
     prev_idx = idx_ref[:]
 
-    offset = params_ref[0, 1].astype(jnp.int32)
-    new_idx_global = tile_arg + offset  # offset = this tile's base row
+    new_idx_global = tile_arg + t * tile  # this tile's base row
     better = tile_min < prev_best
     best_ref[:] = jnp.where(better, tile_min, prev_best)
     idx_ref[:] = jnp.where(better, new_idx_global, prev_idx)
@@ -111,7 +111,6 @@ def gated_match_pallas(
             pl.BlockSpec((tile, bits), lambda t: (t, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((tile, 2), lambda t: (t, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda t: (t, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda t: (t, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((n, 1), lambda t: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
@@ -119,14 +118,10 @@ def gated_match_pallas(
             pl.BlockSpec((n, 1), lambda t: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
     )
-    r2 = jnp.asarray(radius, jnp.float32) ** 2
-    # params per tile: [n_tiles, 2] = (r2, tile_base)
-    params = jnp.stack(
-        [jnp.full((n_tiles,), r2), (jnp.arange(n_tiles) * tile).astype(jnp.float32)], axis=-1
-    )
+    r2 = float(radius) ** 2
 
     best, second, idx = pl.pallas_call(
-        _kernel,
+        partial(_kernel, r2=r2, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -137,7 +132,6 @@ def gated_match_pallas(
     )(
         fdesc, fuv, fvalid.astype(jnp.float32)[:, None],
         sdesc, suv, svalid.astype(jnp.float32)[:, None],
-        params,
     )
     best = best[:, 0]
     second = second[:, 0]

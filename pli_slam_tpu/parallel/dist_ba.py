@@ -143,3 +143,54 @@ def solve_ba_distributed(
         out_specs=out_spec,
     )
     return jax.jit(fn)(prob_in)
+
+
+def solve_gba_distributed(
+    cam, prob_stacked: ba_mod.BAProblem, cfg: OptimizerConfig, mesh: Mesh,
+    iters: int | None = None, wcap: int = 16,
+) -> ba_mod.BAResult:
+    """Distributed whole-map GBA: the alternating (resection-intersection)
+    solver with landmarks sharded across the mesh. The landmark step is
+    embarrassingly parallel; the pose step psum-reduces [K,6,6]+[K,6]
+    per-pose blocks — the only collective traffic per iteration
+    (reference analog: the RunGlobalBundleAdjustment background thread,
+    src/LoopClosing.cc:2243, here scaled across chips instead of hidden
+    on a second core)."""
+    from jax import shard_map
+
+    spec_sharded = ba_mod.BAProblem(
+        R=P(), t=P(), pose_mask=P(), fixed_mask=P(),
+        pts=P(AXIS), pt_mask=P(AXIS), lns=P(AXIS), ln_mask=P(AXIS),
+        po_pose=P(AXIS), po_pt=P(AXIS), po_uvr=P(AXIS), po_stereo=P(AXIS),
+        po_sigma2=P(AXIS), po_mask=P(AXIS),
+        lo_pose=P(AXIS), lo_ln=P(AXIS), lo_l=P(AXIS), lo_sigma2=P(AXIS), lo_mask=P(AXIS),
+    )
+    out_spec = ba_mod.BAResult(
+        R=P(), t=P(), pts=P(AXIS), lns=P(AXIS), po_chi2=P(AXIS), lo_chi2=P(AXIS), cost=P()
+    )
+    prob_in = dataclasses.replace(
+        prob_stacked,
+        R=prob_stacked.R[0], t=prob_stacked.t[0],
+        pose_mask=prob_stacked.pose_mask[0], fixed_mask=prob_stacked.fixed_mask[0],
+    )
+    _POSE_FIELDS = {"R", "t", "pose_mask", "fixed_mask"}
+
+    def body(prob_local: ba_mod.BAProblem) -> ba_mod.BAResult:
+        kw = {
+            f.name: getattr(prob_local, f.name)
+            if f.name in _POSE_FIELDS
+            else getattr(prob_local, f.name)[0]
+            for f in dataclasses.fields(ba_mod.BAProblem)
+        }
+        res = ba_mod.solve_ba_alternating(
+            cam, ba_mod.BAProblem(**kw), cfg, iters=iters, wcap=wcap, axis_name=AXIS
+        )
+        return ba_mod.BAResult(
+            R=res.R, t=res.t,
+            pts=res.pts[None], lns=res.lns[None],
+            po_chi2=res.po_chi2[None], lo_chi2=res.lo_chi2[None],
+            cost=res.cost,
+        )
+
+    fn = shard_map(body, mesh=mesh, in_specs=(spec_sharded,), out_specs=out_spec)
+    return jax.jit(fn)(prob_in)

@@ -519,7 +519,8 @@ def solve_ba(cam, prob: BAProblem, cfg: OptimizerConfig, iters: int | None = Non
 
 
 def solve_ba_alternating(cam, prob: BAProblem, cfg: OptimizerConfig,
-                         iters: int | None = None, wcap: int = 16) -> BAResult:
+                         iters: int | None = None, wcap: int = 16,
+                         axis_name: str | None = None) -> BAResult:
     """Memory-bounded whole-map BA by exact block-coordinate descent
     (resection-intersection): alternate a landmark-only GN step (poses
     fixed — the system is block-diagonal per landmark) with a pose-only
@@ -610,6 +611,13 @@ def solve_ba_alternating(cam, prob: BAProblem, cfg: OptimizerConfig,
             jnp.einsum("nia,n,ni->na", Jp_p, w_p, r_p, precision=_HI).reshape(W, Sx, 6).sum(1)
             + jnp.einsum("nia,n,ni->na", Jp_l, w_l, r_l, precision=_HI).reshape(W, Sl, 6).sum(1)
         )
+        if axis_name is not None:
+            # landmark-sharded distributed GBA: the landmark step above is
+            # embarrassingly parallel (each shard owns its landmarks); the
+            # pose step reduces per-pose blocks over shards — [W,6,6]+[W,6]
+            # per iteration is the only collective traffic
+            Hpp = jax.lax.psum(Hpp, axis_name)
+            gp = jax.lax.psum(gp, axis_name)
         act_w = jnp.diagonal(Hpp, axis1=1, axis2=2).sum(-1) > 1e-10
         Hpp_inv = _inv_spd_equilibrated(
             Hpp + damping * eye6 + (~act_w)[:, None, None] * eye6, _inv6x6_spd
@@ -633,7 +641,24 @@ def solve_ba_alternating(cam, prob: BAProblem, cfg: OptimizerConfig,
     r_l, _, _, ok_l = _line_obs_linearize(cam, prob, R, t, lns)
     w_l, chi2_l = _robust_weight(r_l, prob.lo_sigma2, ok_l, cfg.huber_mono)
     cost = jnp.sum(w_p * chi2_p * prob.po_sigma2) + jnp.sum(w_l * chi2_l * prob.lo_sigma2)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     return BAResult(R=R, t=t, pts=pts, lns=lns, po_chi2=chi2_p, lo_chi2=chi2_l, cost=cost)
+
+
+def evaluate_cost(cam, prob: BAProblem, R, t, pts, lns, cfg: OptimizerConfig,
+                  axis_name: str | None = None):
+    """Residual-only evaluation (no Jacobians/assembly/solve): returns
+    (cost, chi2_p, chi2_l). ~7x cheaper than a full ba_iteration — used
+    for the delayed-rejection tail checks."""
+    r_p, _, _, ok_p = _point_obs_linearize(cam, prob, R, t, pts)
+    w_p, chi2_p = _robust_weight(r_p, prob.po_sigma2, ok_p, cfg.huber_stereo)
+    r_l, _, _, ok_l = _line_obs_linearize(cam, prob, R, t, lns)
+    w_l, chi2_l = _robust_weight(r_l, prob.lo_sigma2, ok_l, cfg.huber_mono)
+    cost = jnp.sum(w_p * chi2_p * prob.po_sigma2) + jnp.sum(w_l * chi2_l * prob.lo_sigma2)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return cost, chi2_p, chi2_l
 
 
 def _solve_ba_stage(cam, prob: BAProblem, cfg: OptimizerConfig, iters: int, axis_name: str | None = None) -> BAResult:
@@ -676,15 +701,15 @@ def _solve_ba_stage(cam, prob: BAProblem, cfg: OptimizerConfig, iters: int, axis
     cur, prev, cost_prev, lam = jax.lax.fori_loop(0, iters, body, carry0)
     # the last accepted step was never cost-checked (delayed rejection
     # lags one iteration): evaluate it and fall back to the last state
-    # whose cost is known-good if it made things worse
-    _, _, _, _, cost_cur, _, _ = ba_iteration(
-        cam, prob, idx_p, idx_l, *cur, cfg, lam, axis_name
-    )
+    # whose cost is known-good if it made things worse. Residual-only
+    # evaluations — a full assembly+solve here doubled the per-stage cost.
+    cost_cur, chi2_p_c, chi2_l_c = evaluate_cost(cam, prob, *cur, cfg, axis_name)
+    cost_prev2, chi2_p_p, chi2_l_p = evaluate_cost(cam, prob, *prev, cfg, axis_name)
     worse = cost_cur > cost_prev
     R, t, pts, lns = jax.tree_util.tree_map(
         lambda a, b: jnp.where(worse, a, b), prev, cur
     )
-    _, _, _, _, cost, chi2_p, chi2_l = ba_iteration(
-        cam, prob, idx_p, idx_l, R, t, pts, lns, cfg, lam, axis_name
-    )
+    cost = jnp.where(worse, cost_prev2, cost_cur)
+    chi2_p = jnp.where(worse, chi2_p_p, chi2_p_c)
+    chi2_l = jnp.where(worse, chi2_l_p, chi2_l_c)
     return BAResult(R=R, t=t, pts=pts, lns=lns, po_chi2=chi2_p, lo_chi2=chi2_l, cost=cost)

@@ -234,6 +234,60 @@ def load_yaml(path: str) -> SlamConfig:
     )
 
 
+def load_yaml_full(path: str):
+    """Full-fidelity load of a reference-style YAML: returns
+    (SlamConfig, Camera, StereoRectifier | None).
+
+    Mirrors everything Tracking::ParseCamParamFile/ParseORBParamFile/
+    ParseIMUParamFile consume (reference: src/Tracking.cc:144-770):
+    camera intrinsics (from the rectified LEFT./RIGHT. P blocks when
+    rectification is configured, else the Camera.fx/... scalars), the
+    stereo baseline Camera.bf (or -P_r[0,3]), the rectification K/D/R/P
+    blocks, Tbc, IMU noise, and the ORB/line budgets.
+    """
+    import numpy as np
+
+    from pli_slam_tpu.ops.camera import Camera
+
+    cfg = load_yaml(path)
+    kv = parse_yaml_flat(path)
+    mats = parse_yaml_matrices(path)
+
+    def mat(name):
+        if name not in mats:
+            return None
+        (r, c), data = mats[name]
+        return np.asarray(data, np.float64).reshape(r, c)
+
+    rectifier = None
+    names = ["LEFT.K", "LEFT.D", "LEFT.R", "LEFT.P",
+             "RIGHT.K", "RIGHT.D", "RIGHT.R", "RIGHT.P"]
+    if all(n in mats for n in names):
+        from pli_slam_tpu.ops.rectify import StereoRectifier
+
+        P_l = mat("LEFT.P")
+        P_r = mat("RIGHT.P")
+        rectifier = StereoRectifier.from_kdrp(
+            mat("LEFT.K"), mat("LEFT.D").reshape(-1), mat("LEFT.R"), P_l,
+            mat("RIGHT.K"), mat("RIGHT.D").reshape(-1), mat("RIGHT.R"), P_r,
+            cfg.width, cfg.height,
+        )
+        cam = Camera.pinhole(
+            fx=float(P_l[0, 0]), fy=float(P_l[1, 1]),
+            cx=float(P_l[0, 2]), cy=float(P_l[1, 2]),
+            bf=float(-P_r[0, 3]),
+            width=cfg.width, height=cfg.height,
+        )
+    else:
+        cam = Camera.pinhole(
+            fx=float(kv.get("Camera.fx", 0.0)), fy=float(kv.get("Camera.fy", 0.0)),
+            cx=float(kv.get("Camera.cx", 0.0)), cy=float(kv.get("Camera.cy", 0.0)),
+            bf=float(kv.get("Camera.bf", 0.0)),
+            width=cfg.width, height=cfg.height,
+        )
+    return cfg, cam, rectifier
+
+
 def parse_yaml_flat(path: str) -> dict[str, str]:
     """Scalar `key: value` pairs from a reference-style YAML (the subset
     cv::FileStorage emits for scalar nodes)."""

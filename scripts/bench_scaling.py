@@ -1,0 +1,114 @@
+"""Distributed-BA scaling measurement (writes the SCALING.md table).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/bench_scaling.py
+
+Builds one fixed synthetic BA problem (strong scaling) and times
+`solve_ba_distributed` iterations at mesh sizes 1/2/4/8. On this host
+the mesh is 8 VIRTUAL devices over 2 vCPUs, so wall-clock "speedup" is
+NOT hardware scaling — the point of the measurement is (a) the
+collective path compiles and runs at every mesh size, (b) the per-shard
+work shrinks linearly (printed), and (c) the collective traffic per
+iteration is a constant few tens of KB (printed), which on real ICI
+(~100 GB/s/link) costs microseconds — the basis of the >=70% projected
+scaling efficiency claim in SCALING.md.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_scaling")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def build_problem(W=16, P=8192, L=512, seed=0):
+    from pli_slam_tpu.ops import camera as cam_ops
+    from pli_slam_tpu.ops.camera import Camera
+    from pli_slam_tpu.solve import ba
+
+    rng = np.random.default_rng(seed)
+    cam = Camera.pinhole(fx=435.2, fy=435.2, cx=367.4, cy=252.2, bf=47.9)
+    pts = jnp.asarray(rng.uniform(-4, 4, (P, 3)) + np.array([0, 0, 8.0]), jnp.float32)
+    xs = jnp.asarray(rng.uniform(-4, 4, (L, 3)) + np.array([0, 0, 8.0]), jnp.float32)
+    lns = jnp.concatenate([xs, xs + jnp.asarray(rng.normal(size=(L, 3)), jnp.float32)], -1)
+    R = jnp.tile(jnp.eye(3)[None], (W, 1, 1))
+    t = jnp.asarray(np.stack([[-0.1 * w, 0, 0] for w in range(W)]), jnp.float32)
+    po_pose = jnp.repeat(jnp.arange(W, dtype=jnp.int32), P)
+    po_pt = jnp.tile(jnp.arange(P, dtype=jnp.int32), W)
+    uvr = jnp.concatenate(
+        [cam_ops.stereo_project(cam, pts + t[w][None]) for w in range(W)], axis=0
+    )
+    lo_pose = jnp.repeat(jnp.arange(W, dtype=jnp.int32), L)
+    lo_ln = jnp.tile(jnp.arange(L, dtype=jnp.int32), W)
+    uv_s = jnp.concatenate([cam_ops.project(cam, xs + t[w][None]) for w in range(W)], axis=0)
+    uv_e = jnp.concatenate([cam_ops.project(cam, lns[:, 3:] + t[w][None]) for w in range(W)], axis=0)
+    h_s = jnp.concatenate([uv_s, jnp.ones((W * L, 1))], -1)
+    h_e = jnp.concatenate([uv_e, jnp.ones((W * L, 1))], -1)
+    l_obs = jnp.cross(h_s, h_e)
+    l_obs = l_obs / jnp.maximum(jnp.linalg.norm(l_obs[:, :2], axis=-1, keepdims=True), 1e-9)
+    prob = ba.BAProblem(
+        R=R,
+        t=t + jnp.asarray(rng.normal(size=(W, 3)) * 0.1, jnp.float32).at[0].set(0.0),
+        pose_mask=jnp.ones(W, bool),
+        fixed_mask=jnp.asarray([True] + [False] * (W - 1)),
+        pts=pts + jnp.asarray(rng.normal(size=(P, 3)) * 0.15, jnp.float32),
+        pt_mask=jnp.ones(P, bool),
+        lns=lns + jnp.asarray(rng.normal(size=(L, 6)) * 0.15, jnp.float32),
+        ln_mask=jnp.ones(L, bool),
+        po_pose=po_pose, po_pt=po_pt, po_uvr=uvr,
+        po_stereo=jnp.ones(W * P, bool), po_sigma2=jnp.ones(W * P),
+        po_mask=jnp.ones(W * P, bool),
+        lo_pose=lo_pose, lo_ln=lo_ln, lo_l=l_obs,
+        lo_sigma2=jnp.ones(W * L), lo_mask=jnp.ones(W * L, bool),
+    )
+    return cam, prob
+
+
+def main():
+    from pli_slam_tpu.parallel import dist_ba
+    from pli_slam_tpu.utils.config import OptimizerConfig
+
+    cfg = OptimizerConfig(local_ba_window=16)
+    cam, prob = build_problem()
+    n_avail = len(jax.devices())
+    iters = 10
+    rows = []
+    for n in (1, 2, 4, 8):
+        if n > n_avail:
+            break
+        mesh = dist_ba.make_mesh(n)
+        stacked = dist_ba.partition_observations(prob, n)
+        # warm up / compile
+        out = dist_ba.solve_ba_distributed(cam, stacked, cfg, mesh, iters=iters)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = dist_ba.solve_ba_distributed(cam, stacked, cfg, mesh, iters=iters)
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        ips = iters / dt
+        W = prob.R.shape[0]
+        psum_bytes = (W * W * 36 + W * 6) * 4  # S6 + rhs per iteration
+        rows.append((n, prob.pts.shape[0] // n, ips, dt * 1e3, psum_bytes))
+        print(
+            f"mesh={n}: {ips:7.2f} BA iters/s  ({dt*1e3:7.1f} ms / {iters} it)  "
+            f"shard={prob.pts.shape[0]//n} landmarks  psum/iter={psum_bytes/1024:.1f} KiB",
+            flush=True,
+        )
+        print(f"  final cost: {float(out.cost):.3f}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

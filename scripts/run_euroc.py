@@ -46,16 +46,28 @@ def main():
     from pli_slam_tpu.utils.euroc import EurocCalib, EurocSequence
 
     sensor = "stereo_imu" if "--stereo-imu" in sys.argv else "stereo"
-    cfg = SlamConfig.euroc_stereo_inertial() if sensor == "stereo_imu" else SlamConfig.euroc_stereo()
-    calib = EurocCalib()
-    cam = Camera.pinhole(
-        fx=calib.fx, fy=calib.fy, cx=calib.cx, cy=calib.cy, bf=calib.bf,
-        width=calib.width, height=calib.height,
-    )
-    seq = EurocSequence(seq_dir)
-    from pli_slam_tpu.ops.rectify import euroc_rectifier
+    if "--config" in sys.argv:
+        # full config-driven setup from a reference-style YAML (camera,
+        # rectification K/D/R/P, Tbc, IMU, ORB budgets) — reference:
+        # src/Tracking.cc:144-770 parses the same file
+        from pli_slam_tpu.utils.config import load_yaml_full
 
-    rectifier = None if "--no-rectify" in sys.argv else euroc_rectifier()
+        yaml_path = sys.argv[sys.argv.index("--config") + 1]
+        cfg, cam, rectifier = load_yaml_full(yaml_path)
+        cfg = cfg.replace(sensor=sensor)
+        if "--no-rectify" in sys.argv:
+            rectifier = None
+    else:
+        cfg = SlamConfig.euroc_stereo_inertial() if sensor == "stereo_imu" else SlamConfig.euroc_stereo()
+        calib = EurocCalib()
+        cam = Camera.pinhole(
+            fx=calib.fx, fy=calib.fy, cx=calib.cx, cy=calib.cy, bf=calib.bf,
+            width=calib.width, height=calib.height,
+        )
+        from pli_slam_tpu.ops.rectify import euroc_rectifier
+
+        rectifier = None if "--no-rectify" in sys.argv else euroc_rectifier()
+    seq = EurocSequence(seq_dir)
     sysm = System(cam, cfg, rectifier=rectifier)
     sysm.tracker.streaming = True  # real-time replay: lag-1 stats readout
     print(f"sequence: {len(seq)} frames; running {n_frames or len(seq)}")

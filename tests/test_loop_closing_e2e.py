@@ -105,3 +105,72 @@ def test_match_kf_landmarks(rng):
     xa, xb, ok = loop_closing.match_kf_landmarks(kstore, pstore, 0, 1)
     assert int(ok.sum()) == 10
     np.testing.assert_allclose(np.asarray(xa)[np.asarray(ok)], np.asarray(xb)[np.asarray(ok)], atol=1e-6)
+
+
+def test_decoy_candidate_rejected_true_one_verified(rng):
+    """Multi-candidate verification (reference verifies the 3 best BoW
+    candidates, src/LoopClosing.cc:395-476): a perceptually-aliased decoy
+    candidate that fails geometric verification must not block the true
+    loop from closing.
+    """
+    from pli_slam_tpu.frontend.loop_closing import LoopCloser
+    from pli_slam_tpu.frontend.tracker import Tracker
+    from pli_slam_tpu.ops.camera import Camera
+
+    cfg = SlamConfig.tiny_test()
+    cfg = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, min_kf_gap=2, consistency_kfs=2)
+    )
+    K = 12
+    S = 64
+    kstore = st.KeyFrameStore.empty(cfg.map.max_keyframes, S, 8)
+    pstore = st.PointStore.empty(512)
+
+    # landmarks: cluster A (seen by KF0 and KF11 = true loop), decoy KF 5
+    # observes DIFFERENT landmarks that share descriptors with A
+    # (perceptual aliasing) but sit elsewhere in space.
+    nA = 40
+    xA = np.stack([rng.uniform(-2, 2, nA), rng.uniform(-2, 2, nA), rng.uniform(3, 6, nA)], -1).astype(np.float32)
+    descA = np.sign(rng.normal(size=(nA, 256))).astype(np.int8)
+    xD = xA + np.asarray([5.0, 0.5, 1.0], np.float32) + rng.normal(size=(nA, 3)).astype(np.float32) * 1.3
+    pstore = dataclasses.replace(
+        pstore,
+        x=pstore.x.at[:nA].set(jnp.asarray(xA)).at[nA:2 * nA].set(jnp.asarray(xD)),
+        desc=pstore.desc.at[:nA].set(jnp.asarray(descA)).at[nA:2 * nA].set(jnp.asarray(descA)),
+        valid=pstore.valid.at[:2 * nA].set(True),
+    )
+    obs = jnp.full((K, S), -1, jnp.int32)
+    ids = jnp.arange(nA, dtype=jnp.int32)
+    obs = obs.at[0, :nA].set(ids)          # KF0 sees cluster A
+    obs = obs.at[11, :nA].set(ids)         # KF11 sees cluster A (true loop)
+    obs = obs.at[5, :nA].set(ids + nA)     # decoy KF5 sees the aliased cluster
+    kstore = dataclasses.replace(
+        kstore,
+        valid=kstore.valid.at[:K].set(True),
+        obs_pt=obs,
+    )
+
+    class FakeTracker:
+        pass
+
+    tr = FakeTracker()
+    tr.kstore = kstore
+    tr.pstore = pstore
+    tr.lstore = st.LineStore.empty(64)
+    tr.n_kf = K
+    tr.cam = Camera.pinhole(fx=120.0, fy=120.0, cx=64.0, cy=48.0, bf=13.2)
+    tr.cfg = cfg
+    tr.R = jnp.eye(3)
+    tr.t = jnp.zeros(3)
+    tr._reset_motion = lambda: None
+    tr._full_inertial_ba = lambda: None
+    tr.imu_ready = False
+
+    lc = LoopCloser(cfg)
+    # decoy first in the candidate list (higher BoW score), truth second
+    cands = [(5, 0.9), (0, 0.5)]
+    lc._consistency = cfg.loop.consistency_kfs  # pre-satisfied
+    lc._consistent_with = 5
+    closed = lc.on_keyframe(tr, 11, cands)
+    assert closed, "true candidate was not verified behind the decoy"
+    assert lc.n_loops_closed == 1
