@@ -121,16 +121,43 @@ def build_frame_rgbd(cam: Camera, cfg: SlamConfig, img: jax.Array, depth_img: ja
     )
 
 
+def undistort_uv(cam: Camera, uv: jax.Array) -> jax.Array:
+    """Map observed (fisheye) pixel coords to ideal-pinhole pixel coords
+    with the same fx/fy/cx/cy — the reference's keypoint undistortion
+    (Frame::UndistortKeyPoints, src/Frame.cc:872): downstream matching /
+    solving then runs on an undistorted pinhole camera."""
+    from pli_slam_tpu.ops import camera as cam_ops
+
+    ray = cam_ops.unproject(cam, uv)  # KB8 Newton inversion, z=1
+    return jnp.stack(
+        [cam.fx * ray[..., 0] + cam.cx, cam.fy * ray[..., 1] + cam.cy], axis=-1
+    )
+
+
 def build_frame_mono(cam: Camera, cfg: SlamConfig, img: jax.Array) -> FrameData:
     """Monocular frame: no stereo/depth channel (reference mono ctor
     src/Frame.cc:334). Depth for landmark creation comes later from
-    two-view initialization / triangulation against the last keyframe."""
+    two-view initialization / triangulation against the last keyframe.
+
+    With a Kannala-Brandt8 `cam` (reference fisheye path,
+    src/CameraModels/KannalaBrandt8.cpp), features and line endpoints
+    are extracted on the raw fisheye image and their coordinates are
+    undistorted to the ideal pinhole frame here; the tracker's solve /
+    match / BA stack then runs entirely on that pinhole model."""
+    from pli_slam_tpu.ops import camera as cam_ops
+
     fl = orb.extract(img, cfg.orb)
     n = fl.uv.shape[0]
     if cfg.use_lines:
         ll = line_ops.detect(img, cfg.lines)
     else:
         ll = _empty_lines(cfg)
+    if cam.model == cam_ops.KANNALA_BRANDT8:
+        fl = dataclasses.replace(fl, uv=undistort_uv(cam, fl.uv))
+        if cfg.use_lines:
+            ll = dataclasses.replace(
+                ll, p0=undistort_uv(cam, ll.p0), p1=undistort_uv(cam, ll.p1)
+            )
     return FrameData(
         feats=fl,
         u_right=jnp.full(n, -1.0),

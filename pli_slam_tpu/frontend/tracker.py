@@ -46,16 +46,33 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _match_points_against_store(cam, cfg, frame: FrameData, R, t, pstore: st.PointStore, radius):
-    """Gated dense match: frame features vs the whole point store."""
+    """Gated dense match: frame features vs the whole point store.
+
+    On TPU the fused Pallas kernel (ops/pallas/hamming.py) replaces the
+    XLA path: the [N,P] distance matrix plus the same-shaped gate/select
+    intermediates (~80 MB each at the 1280x16384 production budget)
+    never reach HBM — one landmark tile at a time lives in VMEM with a
+    running (best, second, argmin) reduction."""
     xc = lie._einsum("ij,pj->pi", R, pstore.x) + t
     uv_proj = cam_ops.project(cam, xc)
     frustum = pstore.valid & (xc[:, 2] > 0.1) & cam_ops.in_image(cam, uv_proj, margin=-radius)
-    gate = matching.window_gate(frame.feats.uv, uv_proj, radius) & frustum[None, :]
-    dist = matching.hamming_matrix(frame.feats.desc, pstore.desc)
-    idx, best, ok = matching.match_nn(
-        dist, frame.feats.valid, pstore.valid, gate, max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio
-    )
-    ok = matching.dedup_matches(idx, best, ok, pstore.x.shape[0])
+    P = pstore.x.shape[0]
+    tile = 2048
+    if jax.default_backend() != "cpu" and P % tile == 0:
+        from pli_slam_tpu.ops.pallas import hamming as ph
+
+        idx, best, ok = ph.gated_match_pallas(
+            frame.feats.desc, frame.feats.uv, frame.feats.valid,
+            pstore.desc, uv_proj, frustum, radius,
+            max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio, tile=tile,
+        )
+    else:
+        gate = matching.window_gate(frame.feats.uv, uv_proj, radius) & frustum[None, :]
+        dist = matching.hamming_matrix(frame.feats.desc, pstore.desc)
+        idx, best, ok = matching.match_nn(
+            dist, frame.feats.valid, pstore.valid, gate, max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio
+        )
+    ok = matching.dedup_matches(idx, best, ok, P)
     return idx, ok, frustum
 
 
@@ -925,6 +942,19 @@ class Tracker:
         from pli_slam_tpu.frontend.frame import build_frame_rgbd as _bfr
         from pli_slam_tpu.worldmap import vocab as vocab_mod
 
+        # KB8 fisheye: features are undistorted to the ideal pinhole frame
+        # inside build_frame_mono (reference UndistortKeyPoints,
+        # src/Frame.cc:872); everything downstream — matching, GN solve,
+        # BA, triangulation — runs on the pinhole model with the same
+        # fx/fy/cx/cy. Fisheye is a monocular-only path (the reference's
+        # fisheye-stereo matchAndtriangulate has no rectified-scanline
+        # analog here).
+        cam_raw = cam
+        if cam.model == cam_ops.KANNALA_BRANDT8:
+            if not cfg.sensor.startswith("mono"):
+                raise ValueError("KB8 fisheye cameras are supported on the mono/mono_imu pipeline only")
+            cam = dataclasses.replace(cam, model=cam_ops.PINHOLE)
+        self.cam_raw = cam_raw
         self.cam = cam
         self.cfg = cfg
         self.rectifier = rectifier
@@ -947,7 +977,7 @@ class Tracker:
         if self.is_mono:
             from pli_slam_tpu.frontend.frame import make_build_frame_mono
 
-            self.build_frame_mono = make_build_frame_mono(cam, cfg)
+            self.build_frame_mono = make_build_frame_mono(cam_raw, cfg)
             self._mono_init_frame = None  # (FrameData, stamp) awaiting 2nd view
             self._mono_reconstruct = jax.jit(
                 partial(_mono_reconstruct, cam, cfg), static_argnames=()
@@ -1022,6 +1052,8 @@ class Tracker:
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
         self._lost_frames = 0
+        # timestamp-jump guard state (reference Tracking.cc:1382-1418)
+        self._prev_stamp: float | None = None
         # streaming mode: read stats with one frame of lag so the sync
         # latency overlaps device compute (set by real-time drivers)
         self.streaming = False
@@ -1272,6 +1304,58 @@ class Tracker:
         self._full_inertial_ba()
         self._imu_init_stamp = float(self.kstore.stamp[n - 1])
         self._viba_stage = 0
+
+    def _scale_refinement(self):
+        """Mono-inertial scale + gravity-direction refinement (reference
+        LocalMapping::ScaleRefinement src/LocalMapping.cc:1337 ->
+        Optimizer::InertialOptimization(Map*,Rwg,scale) overload,
+        src/Optimizer.cc:5755): re-estimate ONLY (scale, Rwg) over the
+        keyframe chain with biases pinned by effectively-infinite priors,
+        and rescale the map when the correction exceeds the reference's
+        0.2% threshold (LocalMapping.cc:195)."""
+        from pli_slam_tpu.solve import imu_init as ii
+
+        n = self.n_kf
+        if n < 4 or self.gravity_w is None:
+            return
+        window = np.arange(n)
+        stacked, imu_mask = self._kf_chain(window)
+        if imu_mask.sum() < 3:
+            return
+        ks = self.kstore
+        R_k, t_k = ks.R[:n], ks.t[:n]
+        R_wb = jnp.einsum("kji,jm->kim", R_k, self.ext.R_cb, precision=jax.lax.Precision.HIGHEST)
+        p_wb = jnp.einsum("kji,kj->ki", R_k, self.ext.t_cb[None] - t_k, precision=jax.lax.Precision.HIGHEST)
+        # current gravity dir as the seed rotation
+        g0 = jnp.asarray([0.0, 0.0, -self.cfg.imu.gravity])
+        gw = self.gravity_w / jnp.linalg.norm(self.gravity_w)
+        gz = g0 / jnp.linalg.norm(g0)
+        v_axis = jnp.cross(gz, gw)
+        s_ang = jnp.linalg.norm(v_axis)
+        Rwg0 = jnp.where(
+            s_ang > 1e-6,
+            lie.so3_exp(v_axis / jnp.maximum(s_ang, 1e-9) * jnp.arcsin(jnp.clip(s_ang, -1, 1))),
+            jnp.eye(3),
+        )
+        Rwg, s, _bg, _ba, v, _costs = ii.inertial_optimization(
+            stacked, jnp.asarray(imu_mask), R_wb, p_wb, ks.v_w[:n], Rwg0,
+            self.bg, self.ba, self.cfg.imu,
+            fix_scale=False, fix_bias=True,  # scale/Rwg/velocities only
+        )
+        scale = float(s)
+        if not np.isfinite(scale) or scale <= 1e-3:
+            return
+        g_w = lie._einsum("ij,j->i", Rwg, g0)
+        if not bool(jnp.all(jnp.isfinite(g_w))):
+            return
+        self.gravity_w = g_w
+        if abs(scale - 1.0) > 0.002:
+            self._apply_scale(scale)
+            v = v * scale
+        self.kstore = dataclasses.replace(
+            self.kstore, v_w=self.kstore.v_w.at[:n].set(v)
+        )
+        self.v_w = v[n - 1]
 
     def _body_state(self):
         from pli_slam_tpu.solve import inertial as inr
@@ -1551,9 +1635,73 @@ class Tracker:
             self.kstore, valid=self.kstore.valid.at[lo:hi].set(self.kstore.valid[lo:hi] & ~cull)
         )
 
+    def reset_active_map(self):
+        """Discard the active map and start fresh, keeping parked Atlas
+        maps (reference System::ResetActiveMap -> Tracking::ResetActiveMap;
+        dispatched on bad-IMU detection, src/LocalMapping.cc:111-121, and
+        on timestamp anomalies, src/Tracking.cc:1382-1418)."""
+        from pli_slam_tpu.worldmap import stores as st
+
+        m = self.cfg.map
+        self.pstore = st.PointStore.empty(m.max_points)
+        self.lstore = st.LineStore.empty(m.max_lines)
+        self.kstore = st.KeyFrameStore.empty(
+            m.max_keyframes, self.cfg.orb.n_features, self.cfg.lines.n_lines
+        )
+        self.n_kf = 0
+        self.state = TrackingState.NOT_INITIALIZED
+        self._reset_motion()
+        self._lost_frames = 0
+        self.frames_since_kf = 0
+        self.last_kf_inliers = 0
+        self._pending_stats = None
+        self._preint_since_kf = None
+        self._kf_preints = {}
+        nfe = self.cfg.orb.n_features
+        self._kf_view_dev = (
+            jnp.zeros((nfe, 2)), jnp.zeros((nfe, 256), jnp.int8),
+            jnp.zeros(nfe, bool), jnp.eye(3), jnp.zeros(3),
+        )
+        self.imu_ready = False
+        self.gravity_w = None
+        self._viba_stage = None
+        self.v_w = jnp.zeros(3)
+        self.bg = jnp.zeros(3)
+        self.ba = jnp.zeros(3)
+        self._first_imu_stamp = None
+        if self.is_mono:
+            self._mono_init_frame = None
+        from pli_slam_tpu.worldmap import vocab as vocab_mod
+
+        self.bow_db = vocab_mod.BowDatabase.empty(
+            self.cfg.map.max_keyframes, self.voc_pt.n_words
+        )
+        if self.loop_closer is not None:
+            from pli_slam_tpu.frontend.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.cfg)
+
+    def _check_timestamp(self, stamp: float) -> None:
+        """Timestamp anomaly guard (reference Tracking::Track,
+        src/Tracking.cc:1382-1418): a frame OLDER than its predecessor
+        resets the active map; a forward jump > 1 s with an inertial
+        sensor parks the map (if IMU was initialized — its preintegration
+        chain is broken beyond repair) or resets it."""
+        prev, self._prev_stamp = self._prev_stamp, float(stamp)
+        if prev is None or self.state == TrackingState.NOT_INITIALIZED:
+            return
+        if stamp < prev:
+            self.reset_active_map()
+        elif stamp - prev > 1.0 and self.use_imu:
+            if self.imu_ready:
+                self._switch_to_new_map()
+            else:
+                self.reset_active_map()
+
     # -- main entries ------------------------------------------------------
     def process(self, img_l, img_r, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         """Stereo / stereo-inertial frame (reference System::TrackStereo)."""
+        self._check_timestamp(stamp)
         img_args = (jnp.asarray(img_l), jnp.asarray(img_r))
         if self.use_imu or self.state == TrackingState.NOT_INITIALIZED:
             frame = self.build_frame(*img_args)
@@ -1562,6 +1710,7 @@ class Tracker:
 
     def process_rgbd(self, img, depth, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         """RGB-D frame (reference System::TrackRGBD, src/System.h:112)."""
+        self._check_timestamp(stamp)
         img_args = (jnp.asarray(img), jnp.asarray(depth))
         if self.use_imu or self.state == TrackingState.NOT_INITIALIZED:
             frame = self.build_frame_rgbd(*img_args)
@@ -1654,6 +1803,7 @@ class Tracker:
 
     def process_mono(self, img, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         """Monocular / mono-inertial frame (reference System::TrackMonocular)."""
+        self._check_timestamp(stamp)
         frame = self.build_frame_mono(jnp.asarray(img))
         return self._process_frame(frame, stamp, allow_mapping, imu)
 
@@ -1698,6 +1848,22 @@ class Tracker:
                 self.R, self.t = inr.camera_pose(init_state, self.ext)
                 self.v_w = v_pred
                 self.state = TrackingState.RECENTLY_LOST
+                self._lost_frames += 1
+                # bad-IMU detection (reference LocalMapping.cc:111-121 /
+                # mbBadImu consumed at Tracking.cc:1373): tracking lost
+                # within 10 s of IMU init on a small map means the
+                # scale/gravity estimate was bad — reset the active map
+                # rather than dead-reckon on garbage
+                if (
+                    self._lost_frames > self.cfg.tracking.recently_lost_sec * self.cfg.fps
+                    and stamp - self._imu_init_stamp < 10.0
+                    and self.n_kf <= 10
+                ):
+                    self.reset_active_map()
+                    info = {"state": self.state, "n_inliers": 0, "n_kf": 0,
+                            "n_points": 0, "n_lines": 0, "new_landmarks": 0}
+                    self.stats.append(info)
+                    return info
         else:
             R0, t0 = self._predict_pose()
             (R, t, pt_idx, pt_in, ln_idx, ln_in, n_in, self.pstore, self.lstore) = self._track(
@@ -1742,6 +1908,15 @@ class Tracker:
                 if dt_init > gate:
                     self._full_inertial_ba()
                     self._viba_stage += 1
+            elif (
+                self.is_mono
+                and self._viba_stage == 2
+                and stamp - self._imu_init_stamp < 50.0
+                and self.frames_since_kf == 0
+            ):
+                # mono scale drift: periodic scale/gravity-only refinement
+                # while the map is young (reference LocalMapping.cc:188-196)
+                self._scale_refinement()
 
         self.frames_since_kf += 1
         # KF decision (reference NeedNewKeyFrame c1a/c2): compare against

@@ -43,6 +43,7 @@ def inertial_optimization(
     prior_g: float = 1e2,
     prior_a: float = 1e6,
     fix_scale: bool = True,
+    fix_bias: bool = False,
     iters: int = 15,
 ):
     """Returns (Rwg [3,3], scale, bg [3], ba [3], v [K,3]).
@@ -95,6 +96,14 @@ def inertial_optimization(
         if fix_scale:
             H = H.at[2, :].set(0.0).at[:, 2].set(0.0).at[2, 2].set(1.0)
             g = g.at[2].set(0.0)
+        if fix_bias:
+            # ScaleRefinement mode: bias vertices held at their
+            # linearization point (reference fixes them, not priors —
+            # Optimizer::InertialOptimization(Map*,Rwg,scale),
+            # src/Optimizer.cc:5755)
+            for i in range(3, 9):
+                H = H.at[i, :].set(0.0).at[:, i].set(0.0).at[i, i].set(1.0)
+            g = g.at[3:9].set(0.0)
         dx = -jnp.linalg.solve(H, g)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
         return x + dx, jnp.sum(r * r)

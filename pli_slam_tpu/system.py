@@ -98,6 +98,11 @@ class System:
         self.tracker = Tracker(self.cam, self.cfg, rectifier=self.rectifier)
         self._frame_times.clear()
 
+    def reset_active_map(self):
+        """Discard only the active map, keeping parked Atlas maps
+        (reference System::ResetActiveMap, src/System.h:151)."""
+        self.tracker.reset_active_map()
+
     # -- trajectory output -------------------------------------------------
     def save_trajectory_tum(self, path: str):
         tio.save_tum(path, self.tracker.trajectory)

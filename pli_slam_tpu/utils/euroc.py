@@ -106,6 +106,44 @@ class EurocSequence:
                 "imu_acc": imu_batch[:, 4:7].astype(np.float32),
             }
 
+    def frames_native(self, start: int = 0, stop: int | None = None, n_workers: int = 2):
+        """Same stream as `frames()` but decoded by the native C++
+        prefetch pool (native/dataloader.cpp) — PNG decode overlaps
+        tracking like the reference's ingest on the tracking thread.
+        Falls back to the pure-Python path when the toolchain is absent.
+        """
+        from pli_slam_tpu.utils import native_loader
+
+        stop = len(self.stamps) if stop is None else stop
+        if not native_loader.available():
+            yield from self.frames(start, stop)
+            return
+        stamps = self.stamps[start:stop]
+        lp = [os.path.join(self.cam0_dir, f"{ns}.png") for ns in stamps]
+        rp = [os.path.join(self.cam1_dir, f"{ns}.png") for ns in stamps]
+        probe = _read_png(lp[0])
+        h, w = probe.shape[:2]
+        pre = native_loader.StereoPrefetcher(lp, rp, w, h, n_workers=n_workers)
+        try:
+            prev_ns = None
+            for ns, (img_l, img_r) in zip(stamps, pre):
+                if prev_ns is None:
+                    imu_batch = np.zeros((0, 7))
+                else:
+                    m = (self.imu[:, 0] > prev_ns) & (self.imu[:, 0] <= ns)
+                    imu_batch = self.imu[m]
+                prev_ns = ns
+                yield {
+                    "t": ns * 1e-9,
+                    "img_l": img_l,
+                    "img_r": img_r,
+                    "imu_stamps": imu_batch[:, 0] * 1e-9,
+                    "imu_gyro": imu_batch[:, 1:4].astype(np.float32),
+                    "imu_acc": imu_batch[:, 4:7].astype(np.float32),
+                }
+        finally:
+            pre.close()
+
     def gt_positions_at(self, stamps_sec: list[float]) -> np.ndarray | None:
         """Interpolate ground-truth positions at the given timestamps."""
         if self.gt is None:

@@ -59,16 +59,25 @@ def _texture(p: jax.Array) -> jax.Array:
 def _trace_room(cam: Camera, R_wc: jax.Array, t_wc: jax.Array, room_half: float):
     """Ray-trace the room box; returns (t_best [H,W] ray depth, p_hit [H,W,3])."""
     h, w = cam.height, cam.width
-    us = (jnp.arange(w, dtype=jnp.float32) - cam.cx) / cam.fx
-    vs = (jnp.arange(h, dtype=jnp.float32) - cam.cy) / cam.fy
-    dirs_c = jnp.stack(
-        [
-            jnp.broadcast_to(us[None, :], (h, w)),
-            jnp.broadcast_to(vs[:, None], (h, w)),
-            jnp.ones((h, w)),
-        ],
-        axis=-1,
-    )
+    from pli_slam_tpu.ops import camera as cam_ops
+
+    if cam.model == cam_ops.PINHOLE:
+        us = (jnp.arange(w, dtype=jnp.float32) - cam.cx) / cam.fx
+        vs = (jnp.arange(h, dtype=jnp.float32) - cam.cy) / cam.fy
+        dirs_c = jnp.stack(
+            [
+                jnp.broadcast_to(us[None, :], (h, w)),
+                jnp.broadcast_to(vs[:, None], (h, w)),
+                jnp.ones((h, w)),
+            ],
+            axis=-1,
+        )
+    else:
+        # fisheye (KB8): per-pixel ray via the model's Newton unprojection
+        uu, vv = jnp.meshgrid(
+            jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
+        )
+        dirs_c = cam_ops.unproject(cam, jnp.stack([uu, vv], axis=-1))
     d_w = jnp.einsum("ij,hwj->hwi", R_wc, dirs_c, precision=jax.lax.Precision.HIGHEST)
     o_w = t_wc
     # intersect with the 6 box planes x,y,z = +-ROOM_HALF, take nearest t>0

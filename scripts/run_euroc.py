@@ -72,19 +72,39 @@ def main():
     sysm.tracker.streaming = True  # real-time replay: lag-1 stats readout
     print(f"sequence: {len(seq)} frames; running {n_frames or len(seq)}")
 
+    from pli_slam_tpu.utils.log import StageTimer
+
+    # frame source: native C++ prefetch pool decodes PNGs ahead of the
+    # tracker (utils/native_loader.py) when requested and available
+    if "--native-loader" in sys.argv:
+        frame_iter = seq.frames_native(stop=n_frames)
+    else:
+        frame_iter = seq.frames(stop=n_frames)
+
+    timer = StageTimer(["ingest", "track"])  # SAVE_TIMES-style CSV
     stamps = []
     t0 = time.time()
-    for i, fr in enumerate(seq.frames(stop=n_frames)):
+    i = 0
+    while True:
+        with timer.stage("ingest"):
+            fr = next(frame_iter, None)
+        if fr is None:
+            break
         imu = None
         if sensor == "stereo_imu":
             imu = {"gyro": fr["imu_gyro"], "acc": fr["imu_acc"], "stamps": fr["imu_stamps"]}
-        info = sysm.track_stereo(fr["img_l"], fr["img_r"], fr["t"], imu_batch=imu)
+        with timer.stage("track"):
+            info = sysm.track_stereo(fr["img_l"], fr["img_r"], fr["t"], imu_batch=imu)
+        timer.end_frame()
         stamps.append(fr["t"])
         if i % 50 == 0:
             print(f"frame {i:5d} {info['state']:>15s} inliers={info['n_inliers']:4d} "
                   f"kf={info['n_kf']:4d}", flush=True)
+        i += 1
     elapsed = time.time() - t0
     print(f"done: {len(stamps)} frames in {elapsed:.1f}s ({len(stamps)/elapsed:.1f} fps)")
+    timer.save_csv(os.path.join(out_dir, "track_times.csv"))
+    print("per-stage ms (mean):", {k: round(v, 2) for k, v in timer.means_ms().items()})
 
     sysm.save_trajectory_tum(os.path.join(out_dir, "trajectory_tum.txt"))
     sysm.save_trajectory_euroc(os.path.join(out_dir, "trajectory_euroc.csv"))

@@ -147,3 +147,31 @@ def test_masked_chain_factor_ignored():
         jnp.zeros(3), jnp.zeros(3), IMU, fix_scale=True,
     )
     assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_scale_refinement_mode_freezes_biases():
+    """ScaleRefinement semantics (reference LocalMapping::ScaleRefinement
+    src/LocalMapping.cc:1337 -> InertialOptimization(Map*,Rwg,scale)
+    src/Optimizer.cc:5755): with biases pinned by huge priors and the
+    TRUE biases passed as linearization point, only scale and gravity
+    direction move — and a 15% map-scale error is corrected."""
+    stacked, R_wb, p_wb, v_wb, stamps, Rwg_true, bg_true, ba_true = make_chain()
+    K = R_wb.shape[0]
+    mask = jnp.ones(K - 1, bool)
+    s_true = 1.15  # mild drift, the ScaleRefinement regime
+    p_scaled = p_wb / s_true
+    Rwg0 = ii.gravity_dir_seed(stacked, mask, jnp.asarray(R_wb), G)
+    v0 = ii.velocity_seed(jnp.asarray(p_scaled), jnp.asarray(stamps))
+    Rwg, s, bg, ba, v, costs = ii.inertial_optimization(
+        stacked, mask, jnp.asarray(R_wb), jnp.asarray(p_scaled), v0, Rwg0,
+        jnp.asarray(bg_true), jnp.asarray(ba_true), IMU,
+        fix_scale=False, fix_bias=True,
+    )
+    # biases must not have moved off their linearization point
+    np.testing.assert_allclose(np.asarray(bg), bg_true, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ba), ba_true, atol=1e-4)
+    assert abs(float(s) - s_true) / s_true < 0.03, float(s)
+    g_est = np.asarray(Rwg) @ np.array([0, 0, -G])
+    g_true = Rwg_true @ np.array([0, 0, -G])
+    cos = g_est @ g_true / (np.linalg.norm(g_est) * np.linalg.norm(g_true))
+    assert cos > 0.999, (g_est, g_true)
