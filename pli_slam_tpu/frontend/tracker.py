@@ -131,7 +131,7 @@ def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointS
 
     # round 2: re-match with the refined pose, tighter window (the
     # reference's TrackLocalMap with th=1-2)
-    r2 = jnp.maximum(r1 * 0.4, 4.0)
+    r2 = max(r1 * 0.4, 4.0)  # static: r1 is a config constant
     pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, res1.R_cw, res1.t_cw, pstore, r2)
     ln_idx, ln_ok, ln_frust = _match_lines_against_store(cam, cfg, frame, res1.R_cw, res1.t_cw, lstore, r2)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
@@ -596,7 +596,7 @@ def track_step_inertial(
     )
 
     R1, t1 = inr.camera_pose(st1, ext)
-    r2 = jnp.maximum(r1 * 0.4, 4.0)
+    r2 = max(r1 * 0.4, 4.0)  # static: r1 is a config constant
     pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, R1, t1, pstore, r2)
     ln_idx, ln_ok, ln_frust = _match_lines_against_store(cam, cfg, frame, R1, t1, lstore, r2)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
