@@ -88,6 +88,50 @@ def match_cross_map(
     return xa, xb, jnp.where(ok, ib[idx], -1), ok
 
 
+def projection_support(
+    cam,
+    kstore: st.KeyFrameStore,
+    pstore: st.PointStore,
+    kf_obs,  # KF whose observations vote (current / previous KF)
+    kf_src,  # candidate loop KF whose landmarks are projected
+    R_rel, t_rel, s_rel,  # verified Sim3: x_loop = s R x_cur + t
+    radius: float = 10.0,
+    max_dist: float = 60.0,
+):
+    """Count loop-region landmarks that, mapped into the current region
+    by the INVERSE of the verified Sim3 and projected into `kf_obs`'s
+    camera, land on one of that keyframe's observed landmarks (window +
+    descriptor gate).
+
+    This is the reference's projection re-verification: a candidate only
+    stands if its map re-projects consistently into the current
+    keyframes (DetectAndReffineSim3FromLastKF / the nNumProjMatches
+    gates, src/LoopClosing.cc:429,476) — and it is deliberately STRICTER
+    than the 3D-3D RANSAC gate: the RANSAC only explains the matched
+    subset, the projection gate demands the candidate's wider map fit.
+    """
+    from pli_slam_tpu.ops import camera as cam_ops
+
+    ia = kstore.obs_pt[kf_src]
+    va = (ia >= 0) & pstore.valid[jnp.maximum(ia, 0)]
+    X_loop = pstore.x[jnp.maximum(ia, 0)]
+    Ri, ti, si = lie.sim3_inverse(R_rel, t_rel, jnp.asarray(s_rel))
+    X_cur = si * lie._einsum("ij,nj->ni", Ri, X_loop) + ti
+    xc = lie._einsum("ij,nj->ni", kstore.R[kf_obs], X_cur) + kstore.t[kf_obs]
+    uv = cam_ops.project(cam, xc)
+    va = va & (xc[:, 2] > 0.1) & cam_ops.in_image(cam, uv, margin=-radius)
+
+    ib = kstore.obs_pt[kf_obs]
+    vb = (ib >= 0) & pstore.valid[jnp.maximum(ib, 0)]
+    uv_obs = kstore.obs_uvr[kf_obs][:, :2]
+    da = pstore.desc[jnp.maximum(ia, 0)]
+    db = pstore.desc[jnp.maximum(ib, 0)]
+    dist = matching.hamming_matrix(da, db)
+    gate = matching.window_gate(uv, uv_obs, radius) & vb[None, :]
+    idx, best, ok = matching.match_nn(dist, va, vb, gate, max_dist=max_dist)
+    return jnp.sum(ok.astype(jnp.int32))
+
+
 def apply_loop_correction(
     kstore: st.KeyFrameStore,
     pstore: st.PointStore,
@@ -98,14 +142,24 @@ def apply_loop_correction(
     R_rel, t_rel,  # verified relative transform: maps current-region world
     cfg: SlamConfig,
     inertial: bool = False,
+    s_rel=None,  # verified scale (mono loop with drift); None/1 = rigid
 ):
     """Essential-graph correction + landmark re-anchoring.
 
     The loop edge constrains T_cur relative to T_loop with the verified
     measurement. Landmarks move with their last-observing keyframe.
+
+    With `s_rel` (mono): the verified map is a full Sim3 and the pose
+    graph runs in 7-DoF sim3 mode so accumulated scale drift distributes
+    over the trajectory (reference OptimizeEssentialGraph with
+    bFixScale=false, src/Optimizer.cc:2437; Sim3Solver scale dispatch
+    src/LoopClosing.cc:448). Poses are SE3-ified afterwards (t /= s,
+    reference CorrectLoop src/LoopClosing.cc:954).
     """
     K = kstore.R.shape[0]
     valid = kstore.valid
+    with_scale = s_rel is not None
+    s_rel = jnp.asarray(1.0) if s_rel is None else jnp.asarray(s_rel)
     # essential graph: sequential spanning-tree edges + covisibility edges
     # (reference OptimizeEssentialGraph input set, src/Optimizer.cc:2437)
     ci, cj, cR, ct, cs, cmask = pgo.chain_edges(kstore.R, kstore.t, jnp.ones(K), valid)
@@ -118,20 +172,23 @@ def apply_loop_correction(
     ct = jnp.concatenate([ct, vt])
     cs = jnp.concatenate([cs, vs])
     cmask = jnp.concatenate([cmask, vmask])
-    # loop edge: measured relative pose loop->cur. The verified Sim3 maps
-    # world points of the current region onto the loop region: x_loop = S x_cur.
-    # Constraint on poses: T_cur_corrected = T_cur ∘ S^-1 (points move by S),
-    # so measured S_cur_loop = T_cur S^-1 (T_loop)^-1.
-    R_s_inv, t_s_inv = lie.se3_inverse(R_rel, t_rel)
-    Rc, tc = lie.se3_compose(kstore.R[kf_cur], kstore.t[kf_cur], R_s_inv, t_s_inv)
+    # loop edge: measured relative Sim3 loop->cur. The verified transform
+    # maps world points of the current region onto the loop region:
+    # x_loop = s R x_cur + t. Constraint on poses: S_cur_corrected =
+    # T_cur ∘ S^-1 (points move by S), so measured S_cur_loop =
+    # T_cur ∘ S^-1 ∘ T_loop^-1 (all composed as Sim3, camera poses s=1).
+    R_s_inv, t_s_inv, s_s_inv = lie.sim3_inverse(R_rel, t_rel, s_rel)
+    Rc, tc, sc = lie.sim3_compose(
+        kstore.R[kf_cur], kstore.t[kf_cur], jnp.asarray(1.0), R_s_inv, t_s_inv, s_s_inv
+    )
     Rl_inv, tl_inv = lie.se3_inverse(kstore.R[kf_loop], kstore.t[kf_loop])
-    Rm, tm = lie.se3_compose(Rc, tc, Rl_inv, tl_inv)
+    Rm, tm, sm = lie.sim3_compose(Rc, tc, sc, Rl_inv, tl_inv, jnp.asarray(1.0))
 
     e_i = jnp.concatenate([ci, jnp.asarray([kf_loop], jnp.int32)])
     e_j = jnp.concatenate([cj, jnp.asarray([kf_cur], jnp.int32)])
     e_R = jnp.concatenate([cR, Rm[None]])
     e_t = jnp.concatenate([ct, tm[None]])
-    e_s = jnp.concatenate([cs, jnp.ones(1)])
+    e_s = jnp.concatenate([cs, sm[None]])
     e_w = jnp.concatenate([jnp.ones(ci.shape[0]), jnp.asarray([5.0])])
     e_mask = jnp.concatenate([cmask, jnp.ones(1, bool)])
 
@@ -143,20 +200,24 @@ def apply_loop_correction(
     )
     # inertial maps are gravity-aligned: only yaw + translation may move
     # (reference dispatch at LoopClosing.cc:1062 — OptimizeEssentialGraph4DoF
-    # when IMU is initialized, 6-DoF otherwise)
-    out = pgo.optimize(graph, iters=cfg.opt.pgo_iters, mode="4dof" if inertial else "se3")
+    # when IMU is initialized, 6-DoF otherwise; 7-DoF sim3 for mono)
+    mode = "4dof" if inertial else ("sim3" if with_scale else "se3")
+    out = pgo.optimize(graph, iters=cfg.opt.pgo_iters, mode=mode)
 
-    # landmark re-anchoring: X' = T_wc_new(k) T_cw_old(k) X, k = last_kf
+    # landmark re-anchoring: X' = S_new^-1(k) T_cw_old(k) X, k = last_kf
+    # (old poses are SE3; new poses are Sim3 with s=1 except sim3 mode)
     R_old, t_old = kstore.R, kstore.t
-    R_new, t_new = out.R, out.t
+    R_new, t_new, s_new = out.R, out.t, out.s
     Rw_new = jnp.swapaxes(R_new, -1, -2)
-    tw_new = -jnp.einsum("kij,kj->ki", Rw_new, t_new, precision=_HI)
 
     def correct_points(x, ref_kf, valid_lm):
         Ro = R_old[ref_kf]
         to = t_old[ref_kf]
         x_c = jnp.einsum("kij,kj->ki", Ro, x, precision=_HI) + to
-        x_n = jnp.einsum("kij,kj->ki", Rw_new[ref_kf], x_c, precision=_HI) + tw_new[ref_kf]
+        # inverse Sim3 of the new pose: x = (1/s) R^T (x_c - t)
+        x_n = jnp.einsum(
+            "kij,kj->ki", Rw_new[ref_kf], x_c - t_new[ref_kf], precision=_HI
+        ) / s_new[ref_kf][:, None]
         return jnp.where(valid_lm[:, None], x_n, x)
 
     ref_pt = jnp.clip(pstore.last_kf, 0, K - 1)
@@ -174,7 +235,8 @@ def apply_loop_correction(
             axis=-1,
         ),
     )
-    kstore = dataclasses.replace(kstore, R=R_new, t=t_new)
+    # SE3-ify: [sR | t] ~ [R | t/s] (reference CorrectLoop :954)
+    kstore = dataclasses.replace(kstore, R=R_new, t=t_new / s_new[:, None])
     return kstore, pstore, lstore
 
 
@@ -195,12 +257,18 @@ class LoopCloser:
         self.n_loops_closed = 0
         self._last_closed_kf = -10 ** 9
         self._match = jax.jit(match_kf_landmarks)
+        # pure mono accumulates scale drift: estimate Sim3 scale and
+        # correct it through the 7-DoF pose graph (reference bFixScale =
+        # stereo-or-IMU, src/LoopClosing.cc:448); every other sensor is
+        # metric and the loop is rigid
+        self.with_scale = cfg.sensor == "mono"
         self._ransac = jax.jit(
             lambda x, y, m, key: sim3.ransac_sim3(
                 x, y, m, key, n_hypotheses=cfg.loop.sim3_hypotheses,
-                inlier_thresh=0.25, with_scale=False,
+                inlier_thresh=0.25, with_scale=self.with_scale,
             )
         )
+        self._proj_support = jax.jit(projection_support, static_argnames=("radius", "max_dist"))
 
     def on_keyframe(self, tracker, kf_slot: int, candidates) -> bool:
         """Consume the fused step's loop candidates for keyframe kf_slot
@@ -233,24 +301,43 @@ class LoopCloser:
         if self._consistency < cfg.loop.consistency_kfs:
             return False
 
-        # geometric verification of each surviving candidate, best first
+        # geometric verification of each surviving candidate, best first:
+        # 3D-3D RANSAC, then the stricter projection re-check — the
+        # candidate's wider map must re-project onto the current AND
+        # previous keyframes' observations (reference
+        # DetectAndReffineSim3FromLastKF, src/LoopClosing.cc:429; a
+        # perceptually-aliased candidate whose RANSAC only explains the
+        # matched subset dies here)
         verified = None
         for s, sc in candidates:
             x, y, m = self._match(tracker.kstore, tracker.pstore, kf_slot, s)
             key = jax.random.PRNGKey(kf_slot * 7 + s)
             R_rel, t_rel, s_rel, inl, n_in = self._ransac(x, y, m, key)
-            if int(n_in) >= cfg.loop.sim3_min_inliers:
-                verified = (s, R_rel, t_rel)
+            if int(n_in) < cfg.loop.sim3_min_inliers:
+                continue
+            n_cur = int(self._proj_support(
+                tracker.cam, tracker.kstore, tracker.pstore,
+                kf_slot, s, R_rel, t_rel, s_rel,
+                radius=cfg.loop.proj_radius_px,
+            ))
+            n_prev = int(self._proj_support(
+                tracker.cam, tracker.kstore, tracker.pstore,
+                max(kf_slot - 1, 0), s, R_rel, t_rel, s_rel,
+                radius=cfg.loop.proj_radius_px,
+            )) if kf_slot >= 1 else n_cur
+            if n_cur >= cfg.loop.proj_min_inliers and n_prev >= cfg.loop.proj_min_inliers // 2:
+                verified = (s, R_rel, t_rel, s_rel)
                 break
         if verified is None:
             return False
-        best, R_rel, t_rel = verified
+        best, R_rel, t_rel, s_rel = verified
 
         inertial = bool(getattr(tracker, "imu_ready", False))
         tracker.kstore, tracker.pstore, tracker.lstore = apply_loop_correction(
             tracker.kstore, tracker.pstore, tracker.lstore,
             tracker.n_kf, kf_slot, best, R_rel, t_rel, cfg,
             inertial=inertial,
+            s_rel=s_rel if self.with_scale else None,
         )
         # global BA refines the whole corrected map (reference: the
         # transient RunGlobalBundleAdjustment thread, LoopClosing.cc:1087,

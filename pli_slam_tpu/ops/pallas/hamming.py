@@ -26,6 +26,8 @@ BIG = 1e9  # plain float: a jnp scalar would be captured as a traced constant
 
 
 def _kernel(
+    r2_ref,  # [1, 1] f32 in SMEM — squared window radius (runtime scalar:
+    #          tracking widens the window when no motion model exists)
     fdesc_ref,  # [N, 256] int8  (frame descriptors, full block)
     fuv_ref,  # [N, 2] f32
     fvalid_ref,  # [N, 1] f32 (1/0)
@@ -36,7 +38,6 @@ def _kernel(
     second_ref,  # [N, 1] f32 out
     idx_ref,  # [N, 1] i32 out
     *,
-    r2: float,  # squared window radius (static)
     tile: int,  # rows per store tile (static)
 ):
     t = pl.program_id(0)
@@ -58,7 +59,7 @@ def _kernel(
 
     du = fuv_ref[:, 0:1] - suv_ref[:, 0][None, :]
     dv = fuv_ref[:, 1:2] - suv_ref[:, 1][None, :]
-    gate = (du * du + dv * dv) <= r2
+    gate = (du * du + dv * dv) <= r2_ref[0, 0]
     gate = gate & (svalid_ref[:, 0][None, :] > 0) & (fvalid_ref[:, 0:1] > 0)
     dist = jnp.where(gate, dist, BIG)
 
@@ -105,6 +106,7 @@ def gated_match_pallas(
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((n, bits), lambda t: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((n, 2), lambda t: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda t: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
@@ -118,10 +120,10 @@ def gated_match_pallas(
             pl.BlockSpec((n, 1), lambda t: (0, 0), memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
     )
-    r2 = float(radius) ** 2
+    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1, 1)
 
     best, second, idx = pl.pallas_call(
-        partial(_kernel, r2=r2, tile=tile),
+        partial(_kernel, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -130,7 +132,7 @@ def gated_match_pallas(
         ],
         interpret=interpret,
     )(
-        fdesc, fuv, fvalid.astype(jnp.float32)[:, None],
+        r2, fdesc, fuv, fvalid.astype(jnp.float32)[:, None],
         sdesc, suv, svalid.astype(jnp.float32)[:, None],
     )
     best = best[:, 0]

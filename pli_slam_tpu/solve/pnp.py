@@ -66,10 +66,83 @@ def ransac_pnp(
     return R_b, t_b, inliers, n_in, ok
 
 
+def ransac_pnp_dlt(
+    cam,
+    x_w: jax.Array,  # [N,3] world points
+    uv: jax.Array,  # [N,2] observed pixels
+    mask: jax.Array,  # [N]
+    key: jax.Array,
+    n_hypotheses: int = 256,
+    inlier_px: float = 4.0,
+    min_inliers: int = 15,
+):
+    """Depth-free PnP RANSAC: 6-point DLT hypotheses, batched.
+
+    The monocular relocalization path (reference MLPnP is mono-native:
+    it consumes bearing vectors only, src/MLPnPsolver.cpp, dispatched at
+    src/Tracking.cc:4223) — no stereo depth seed exists, so each
+    hypothesis solves the projective DLT on 6 2D-3D pairs via SVD
+    (12x12), then orthonormalizes the rotation block. All hypotheses
+    solve in one batched SVD; the winner is scored by reprojection like
+    the stereo path.
+    """
+    n = x_w.shape[0]
+    probs = mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(probs.sum(), 1e-9)
+    idx = jax.random.choice(key, n, shape=(n_hypotheses, 6), replace=True, p=probs)
+
+    rays = cam_ops.unproject(cam, uv)  # [N,3] z=1 (normalized image coords)
+    X = x_w[idx]  # [H,6,3]
+    xn = rays[idx][..., :2]  # [H,6,2] normalized (u,v)
+    ones = jnp.ones(X.shape[:2])
+    Xh = jnp.concatenate([X, ones[..., None]], axis=-1)  # [H,6,4]
+    zero = jnp.zeros_like(Xh)
+    # rows: [X 0 -u*X] and [0 X -v*X]  (P stacked as [p1; p2; p3])
+    r1 = jnp.concatenate([Xh, zero, -xn[..., 0:1] * Xh], axis=-1)  # [H,6,12]
+    r2 = jnp.concatenate([zero, Xh, -xn[..., 1:2] * Xh], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=1)  # [H,12,12]
+    # null vector = right singular vector of smallest singular value
+    _, _, vt = jnp.linalg.svd(A)
+    p = vt[:, -1, :]  # [H,12]
+    P = p.reshape(-1, 3, 4)
+    M = P[:, :, :3]
+    # orthonormalize: M = s R with R in SO(3)
+    U, S, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(jnp.einsum("hij,hjk->hik", U, Vt))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R_h = jnp.einsum("hij,hj,hjk->hik", U, D, Vt, precision=_HI)
+    scale = jnp.mean(S, axis=-1) * jnp.where(det < 0, -1.0, 1.0)
+    # overall projective sign: demand positive depth for the sample
+    t_h = P[:, :, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)[:, None]
+    z_sample = jnp.einsum("hij,hnj->hni", R_h, X, precision=_HI)[..., 2] + t_h[:, None, 2]
+    flip = jnp.sum(jnp.where(z_sample > 0, 1.0, -1.0), axis=1) < 0
+    t_h = jnp.where(flip[:, None], -t_h, t_h)
+    R_h = jnp.where(flip[:, None, None], -R_h, R_h)
+    # -R is not a rotation after sign flip combined with det fix unless
+    # re-projected; re-orthonormalize the flipped ones
+    U2, _, Vt2 = jnp.linalg.svd(R_h)
+    det2 = jnp.linalg.det(jnp.einsum("hij,hjk->hik", U2, Vt2))
+    D2 = jnp.stack([jnp.ones_like(det2), jnp.ones_like(det2), det2], axis=-1)
+    R_h = jnp.einsum("hij,hj,hjk->hik", U2, D2, Vt2, precision=_HI)
+
+    xc = jnp.einsum("hij,nj->hni", R_h, x_w, precision=_HI) + t_h[:, None, :]
+    uv_p = cam_ops.project(cam, xc)
+    err2 = jnp.sum((uv_p - uv[None]) ** 2, axis=-1)
+    inl = (err2 < inlier_px * inlier_px) & (xc[..., 2] > 0.05) & mask[None]
+    counts = inl.sum(axis=1)
+    best = jnp.argmax(counts)
+    R_b, t_b = R_h[best], t_h[best]
+    inliers = inl[best]
+    n_in = counts[best]
+    ok = n_in >= min_inliers
+    return R_b, t_b, inliers, n_in, ok
+
+
 def solve_pnp(
     cam, x_w, uv, u_right, stereo_mask, depth_seed, sigma2, mask, key,
     opt_cfg: OptimizerConfig | None = None,
     inlier_px: float = 4.0, min_inliers: int = 15,
+    mono: bool = False,
 ):
     """RANSAC + GN polish (the reference's iterate->PoseOptimization loop).
 
@@ -80,10 +153,16 @@ def solve_pnp(
     from pli_slam_tpu.solve import gn
 
     opt_cfg = opt_cfg or OptimizerConfig()
-    R0, t0, inl, n_in, ok = ransac_pnp(
-        cam, x_w, uv, depth_seed, mask, key,
-        inlier_px=inlier_px, min_inliers=min_inliers,
-    )
+    if mono:
+        R0, t0, inl, n_in, ok = ransac_pnp_dlt(
+            cam, x_w, uv, mask, key,
+            inlier_px=inlier_px, min_inliers=min_inliers,
+        )
+    else:
+        R0, t0, inl, n_in, ok = ransac_pnp(
+            cam, x_w, uv, depth_seed, mask, key,
+            inlier_px=inlier_px, min_inliers=min_inliers,
+        )
     n_l = 8
     # the polish must model the ASSOCIATION noise the RANSAC gate
     # accepted (landmark position error seen from a novel viewpoint),

@@ -76,6 +76,10 @@ class TrackingConfig:
     kf_min_interval: int = 0  # min frames between KFs
     kf_max_interval: int = 30  # c1a: MaxFrames = fps (Tracking.cc:3407)
     kf_ref_ratio: float = 0.75  # c2: tracked < ratio * ref visible (Tracking.cc:3500)
+    kf_min_inliers: int = 25  # c1c floor: never cement a weakly-tracked pose
+    # as a keyframe (reference NeedNewKeyFrame requires matches > 15,
+    # src/Tracking.cc:3500 c1c) — a KF created from a garbage pose spawns
+    # duplicate landmarks at wrong depths and deforms the early map
     kf_min_close_points: int = 100  # close-point creation cap (Tracking.cc:3573)
     recently_lost_sec: float = 5.0  # time_recently_lost (Tracking.cc:53)
     motion_model: bool = True
@@ -146,6 +150,12 @@ class LoopConfig:
     run_gba: bool = True  # global BA after loop correction (LoopClosing.cc:1087)
     sim3_hypotheses: int = 256  # batched RANSAC hypotheses (replaces iterate())
     sim3_min_inliers: int = 20
+    # projection re-verification (reference DetectAndReffineSim3FromLastKF
+    # nNumProjMatches gates, src/LoopClosing.cc:429): the candidate's map
+    # must re-project onto the current AND previous keyframes' landmarks
+    # — deliberately stricter than sim3_min_inliers
+    proj_min_inliers: int = 30
+    proj_radius_px: float = 10.0
     vocab_levels: int = 4
     vocab_branching: int = 10
 
@@ -191,7 +201,7 @@ class SlamConfig:
             imu=ImuConfig(max_samples_per_frame=16),
             tracking=TrackingConfig(min_init_features=20, min_matches_motion=8,
                                     min_matches_ref_kf=8, min_inliers_track=6,
-                                    min_inliers_local_map=10),
+                                    min_inliers_local_map=10, kf_min_inliers=8),
         )
 
 

@@ -84,7 +84,12 @@ class Atlas:
         """
         src = self.active
         dst = self.maps[target_idx]
-        dst_merged = merge_maps(dst, src, R_rel, t_rel, fuse_src, fuse_dst)
+        dst_merged, kf_slots = merge_maps(dst, src, R_rel, t_rel, fuse_src, fuse_dst)
+        # src-KF-slot -> merged-map-slot mapping, for callers that must
+        # re-index per-KF side state (the IMU preintegration chain — the
+        # reference's MergeInertialBA keeps inertial factors across the
+        # seam, src/Optimizer.cc:6858)
+        self.last_kf_slots = np.asarray(kf_slots)
         self.maps[target_idx] = dst_merged
         self.maps.pop(self.active_idx)
         self.active_idx = target_idx if target_idx < self.active_idx else target_idx - 1
@@ -253,4 +258,7 @@ def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel,
     # next-free-slot semantics: the tracker inserts keyframes at slot
     # n_kf, so it must point past the highest occupied slot
     n_next = int(jnp.max(jnp.where(ks.valid, jnp.arange(K), -1))) + 1
-    return MapBundle(pstore=ps, lstore=ls, kstore=ks, n_kf=max(dst.n_kf, n_next))
+    return (
+        MapBundle(pstore=ps, lstore=ls, kstore=ks, n_kf=max(dst.n_kf, n_next)),
+        kf_slots,
+    )

@@ -72,3 +72,25 @@ def test_loss_newmap_revisit_merge():
         err = np.linalg.norm(est_p - gt_p)
         assert err < 0.5, (err, est_p, gt_p)
     assert last_ok >= cfg.tracking.min_inliers_track
+
+
+def test_preint_chain_survives_merge_remap():
+    """Inertial-aware merge (reference MergeInertialBA,
+    src/Optimizer.cc:6858): the active side's preintegration chain must
+    be re-indexed through the merge's KF slot mapping, not dropped —
+    factors whose endpoints stay adjacent survive, others are pruned."""
+    # src KFs 0..3 land in dst slots 5..8 (contiguous tail)
+    kf_slots = np.asarray([5, 6, 7, 8, -1, -1])
+    old = {1: "p01", 2: "p12", 3: "p23"}
+    new = Tracker._remap_preints(old, kf_slots)
+    assert new == {6: "p01", 7: "p12", 8: "p23"}
+
+    # non-adjacent landing (slot 2 skipped a hole): factor pruned
+    kf_slots = np.asarray([5, 6, 9, 10])
+    new = Tracker._remap_preints({1: "a", 2: "b", 3: "c"}, kf_slots)
+    assert new == {6: "a", 10: "c"}  # "b" spans 6->9, not adjacent
+
+    # unmapped (-1) endpoints never crash or survive
+    kf_slots = np.asarray([-1, 4, 5])
+    new = Tracker._remap_preints({1: "x", 2: "y"}, kf_slots)
+    assert new == {5: "y"}

@@ -22,7 +22,7 @@ from pli_slam_tpu.utils import synthetic
 from pli_slam_tpu.utils.config import SlamConfig
 
 
-def _run(disable_pnp: bool):
+def _run(disable_bow_seeds: bool):
     cfg = SlamConfig.tiny_test()
     cfg = dataclasses.replace(
         cfg,
@@ -37,10 +37,14 @@ def _run(disable_pnp: bool):
     cam = Camera.pinhole(fx=120.0, fy=120.0, cx=64.0, cy=48.0, bf=13.2, width=128, height=96)
     traj = synthetic.Trajectory(amp=(0.5, 0.35, 0.2), freq=(0.15, 0.19, 0.11), yaw_amp=0.25)
     tracker = Tracker(cam, cfg)
-    if disable_pnp:
-        # force the legacy candidate-pose re-track (mono takes that path)
-        tracker._pnp_reloc_j = lambda *a, **k: (
-            jnp.eye(3), jnp.zeros(3), jnp.zeros(1, bool), jnp.int32(0), jnp.asarray(False)
+    if disable_bow_seeds:
+        # simulate failed place recognition (empty candidate list — the
+        # reference's Relocalization returns false outright in that case,
+        # src/Tracking.cc:4190); recovery must then come from the
+        # pose-free PnP seed alone
+        tracker._bow_query_frame = lambda *a, **k: (
+            jnp.full(cfg.loop.bow_candidates, -1, jnp.int32),
+            jnp.full(cfg.loop.bow_candidates, -1.0),
         )
     frames = list(synthetic.make_sequence(cam, 20, fps=cfg.fps, traj=traj, room_half=2.55))
     for fr in frames:
@@ -89,13 +93,70 @@ def _run(disable_pnp: bool):
     return recovered, err
 
 
-def test_pnp_recovers_kidnap():
-    recovered, err = _run(disable_pnp=False)
-    assert recovered, f"PnP relocalization failed (err={err})"
+def test_reloc_recovers_kidnap():
+    recovered, err = _run(disable_bow_seeds=False)
+    assert recovered, f"relocalization failed (err={err})"
 
 
-def test_retrack_alone_fails_kidnap():
-    recovered, err = _run(disable_pnp=True)
-    assert not recovered, (
-        "kidnap unexpectedly recovered without PnP — strengthen the kidnap"
+def test_pnp_recovers_kidnap_without_bow_candidates():
+    """The PnP path is pose-free AND candidate-free: it associates
+    against the whole landmark store, so relocalization survives a total
+    place-recognition miss — the reference cannot (its Relocalization
+    bails with no KF candidates, src/Tracking.cc:4190)."""
+    recovered, err = _run(disable_bow_seeds=True)
+    assert recovered, f"PnP-only relocalization failed (err={err})"
+
+
+def test_mono_pnp_recovers_kidnap():
+    """Monocular kidnap: no stereo depth exists to lift PnP hypotheses,
+    so recovery must come through the depth-free DLT hypothesis path
+    (reference MLPnP consumes bearing vectors only, src/MLPnPsolver.cpp,
+    dispatched from Tracking::Relocalization src/Tracking.cc:4223 — the
+    round-3 build skipped PnP for mono entirely and fell back to the
+    re-track heuristic that cannot span this baseline)."""
+    cfg = SlamConfig.tiny_test()
+    cfg = dataclasses.replace(
+        cfg,
+        sensor="mono",
+        tracking=dataclasses.replace(
+            cfg.tracking, recently_lost_sec=3.0,
+            min_inliers_track=20, min_inliers_local_map=25,
+        ),
     )
+    cam = Camera.pinhole(fx=120.0, fy=120.0, cx=64.0, cy=48.0, bf=0.0,
+                         width=128, height=96)
+    traj = synthetic.Trajectory(amp=(0.5, 0.35, 0.2), freq=(0.15, 0.19, 0.11), yaw_amp=0.25)
+    tracker = Tracker(cam, cfg)
+    # every 3rd frame: enough parallax for mono init + triangulation
+    frames = list(synthetic.make_sequence(cam, 54, fps=cfg.fps, traj=traj, room_half=2.55))[::3]
+    for fr in frames:
+        tracker.process_mono(fr["img_l"], fr["t"])
+    assert tracker.state == TrackingState.OK
+    assert int(tracker.n_kf) >= 2
+
+    # kidnap: displaced + yawed viewpoint near the trajectory start
+    # (severity bounded by the tiny mono map's ~100-landmark coverage —
+    # the point under test is the depth-free PnP hypothesis path, so the
+    # BoW candidate-pose re-track seeds are DISABLED below and recovery
+    # must come from PnP alone)
+    R_wc, p_w = traj.pose(0.15)
+    p_kid = p_w + np.array([0.3, 0.2, -0.15])
+    yaw = 0.2
+    Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                   [-np.sin(yaw), 0, np.cos(yaw)]])
+    R_wc = R_wc @ Ry
+    img = synthetic.render_view(
+        cam, jnp.asarray(R_wc, jnp.float32), jnp.asarray(p_kid, jnp.float32),
+        room_half=2.55)
+
+    # kill the BoW-candidate fallback seeds: only the PnP seed remains
+    tracker._bow_query_frame = lambda *a, **k: (
+        jnp.full(cfg.loop.bow_candidates, -1, jnp.int32),
+        jnp.full(cfg.loop.bow_candidates, -1.0),
+    )
+    for i in range(6):
+        info = tracker.process_mono(img, frames[-1]["t"] + 0.05 * (i + 1))
+        if info["state"] == TrackingState.OK:
+            break
+    assert tracker.state == TrackingState.OK, "mono kidnap never relocalized via PnP"
+    assert info["n_inliers"] >= cfg.tracking.min_inliers_local_map

@@ -68,3 +68,27 @@ def test_trajectory_io(tmp_path, run_result):
     tio.save_euroc(str(tmp_path / "euroc.csv"), tracker.trajectory)
     t_rpe, r_rpe = tio.rpe_rmse(tracker.trajectory, tracker.trajectory)
     assert t_rpe < 1e-6 and r_rpe < 0.05  # f32 arccos noise floor ~0.02 deg
+
+
+def test_landmark_last_kf_written_by_product_path(run_result):
+    """Loop correction re-anchors each landmark through its last-observing
+    keyframe (loop_closing.apply_loop_correction). last_kf must therefore
+    be maintained by the live insert path for POINTS and LINES alike —
+    regression guard for the round-3 bug where LineStore.last_kf was
+    never written and every line re-anchored through KF0 (the PGO gauge),
+    i.e. lines silently did not move at loop closure."""
+    tracker, infos, gt = run_result
+    n_kf = int(tracker.n_kf)
+    assert n_kf >= 2
+    pv = np.asarray(tracker.pstore.valid)
+    lv = np.asarray(tracker.lstore.valid)
+    p_last = np.asarray(tracker.pstore.last_kf)[pv]
+    l_last = np.asarray(tracker.lstore.last_kf)[lv]
+    assert lv.sum() > 3
+    # landmarks created/re-observed after KF0 must carry a nonzero last_kf
+    assert (p_last > 0).any(), "point last_kf never written past KF0"
+    assert (l_last > 0).any(), "line last_kf never written past KF0"
+    # last_kf is a valid KF slot and >= first_kf
+    assert p_last.max() <= n_kf - 1 and l_last.max() <= n_kf - 1
+    l_first = np.asarray(tracker.lstore.first_kf)[lv]
+    assert (l_last >= l_first).all()
