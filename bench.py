@@ -63,6 +63,7 @@ def main():
     tracker.streaming = True  # real-time replay mode: lag-1 stats readout
     for i, (img_l, img_r, t, _) in enumerate(frames[:n_warm]):
         tracker.process(img_l, img_r, t)
+    tracker.positions()  # warm the trajectory-composition program too
     log("bench: warmup done; measuring")
 
     t0 = time.time()

@@ -41,6 +41,11 @@ class FrameData:
 
 
 def build_frame(cam: Camera, cfg: SlamConfig, img_l: jax.Array, img_r: jax.Array) -> FrameData:
+    # L/R extraction stays as two sequential sub-graphs inside the one
+    # jitted program: a [2,H,W]-vmapped variant was measured SLOWER on
+    # the TPU (ORB 8.6 -> 13.8 ms, lines 10.2 -> 25.8 ms for the pair) —
+    # XLA lowers the batched keypoint gathers / top-k poorly, while the
+    # sequential graphs pipeline fine
     fl = orb.extract(img_l, cfg.orb)
     fr = orb.extract(img_r, cfg.orb)
     u_r, sok = stereo.match_stereo(
@@ -166,6 +171,81 @@ def build_frame_mono(cam: Camera, cfg: SlamConfig, img: jax.Array) -> FrameData:
         lines=ll,
         line_disp=jnp.zeros((cfg.lines.n_lines, 2)),
         line_ok=jnp.zeros(cfg.lines.n_lines, bool),
+        sigma2=fl.scale ** 2,
+    )
+
+
+def build_frame_fisheye_stereo(
+    cam_l: Camera, cam_r: Camera, cfg: SlamConfig,
+    R_rl: jax.Array, t_rl: jax.Array,
+    img_l: jax.Array, img_r: jax.Array,
+) -> FrameData:
+    """Fisheye (KB8) stereo frame — the unrectified-rig path.
+
+    The reference handles KB8 stereo with a dedicated Frame constructor
+    (src/Frame.cc:1484) and `KannalaBrandt8::matchAndtriangulate`
+    (src/CameraModels/KannalaBrandt8.cpp:240): no rectification exists
+    for fisheye, so left/right association is a general two-view
+    problem. Here: extract on the raw fisheye images, undistort keypoint
+    coordinates to each camera's ideal pinhole frame, match L<->R with a
+    descriptor + epipolar gate from the rig extrinsics `T_rl` (maps
+    LEFT-camera coords to RIGHT-camera coords), and DLT-triangulate each
+    match. The triangulated depth becomes a virtual disparity
+    (u_r = u - bf/z) so the entire downstream stereo machinery — GN
+    stereo residuals, BA, landmark creation — runs unchanged (the same
+    trick as the reference's ComputeStereoFromRGBD).
+
+    Lines are mono-only on this path: the reference's fisheye frame is
+    points-only too (no LSD/line channel in the KB8 ctor).
+    """
+    import dataclasses as _dc
+
+    from pli_slam_tpu.ops import camera as cam_ops
+    from pli_slam_tpu.ops import matching
+    from pli_slam_tpu.solve import triangulate as tri
+
+    fl = orb.extract(img_l, cfg.orb)
+    fr_ = orb.extract(img_r, cfg.orb)
+    uv_l = undistort_uv(cam_l, fl.uv)
+    uv_r = undistort_uv(cam_r, fr_.uv)
+    fl = _dc.replace(fl, uv=uv_l)
+    pin_l = _dc.replace(cam_l, model=0)  # PINHOLE
+    pin_r = _dc.replace(cam_r, model=0)
+
+    # epipolar gate from the rig geometry: left view T_cw = (I, 0),
+    # right view T_cw = (R_rl, t_rl) in left-camera world
+    eye = jnp.eye(3)
+    zero = jnp.zeros(3)
+    gate = tri.epipolar_gate(pin_l, eye, zero, R_rl, t_rl, uv_l, uv_r)
+    dist = matching.hamming_matrix(fl.desc, fr_.desc)
+    idx, best, ok = matching.match_nn(
+        dist, fl.valid, fr_.valid, gate,
+        max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio,
+    )
+    ok = matching.mutual_consistency(idx, ok, dist, fl.valid, fr_.valid, gate)
+
+    ray_l = cam_ops.unproject(pin_l, uv_l)
+    ray_r = cam_ops.unproject(pin_r, uv_r[jnp.maximum(idx, 0)])
+    X = tri.triangulate_dlt(eye, zero, R_rl, t_rl, ray_l, ray_r)
+    good = tri.triangulation_checks(
+        pin_l, eye, zero, R_rl, t_rl, X, uv_l, uv_r[jnp.maximum(idx, 0)],
+        fl.scale ** 2, fr_.scale[jnp.maximum(idx, 0)] ** 2,
+        min_parallax_cos=1.0,  # the fixed rig baseline IS the parallax
+    )
+    z = X[:, 2]
+    depth = jnp.where(ok & good & (z > 0.05), z, -1.0)
+    sok = depth > 0
+    u_r = jnp.where(sok, uv_l[:, 0] - cam_l.bf / jnp.maximum(depth, 1e-6), -1.0)
+
+    if cfg.use_lines:
+        ll = line_ops.detect(img_l, cfg.lines)
+        ll = _dc.replace(ll, p0=undistort_uv(cam_l, ll.p0), p1=undistort_uv(cam_l, ll.p1))
+    else:
+        ll = _empty_lines(cfg)
+    nl = cfg.lines.n_lines
+    return FrameData(
+        feats=fl, u_right=u_r, stereo_ok=sok, depth=depth,
+        lines=ll, line_disp=jnp.zeros((nl, 2)), line_ok=jnp.zeros(nl, bool),
         sigma2=fl.scale ** 2,
     )
 

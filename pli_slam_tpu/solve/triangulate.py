@@ -42,12 +42,51 @@ def triangulate_dlt(R1, t1, R2, t2, ray1: jax.Array, ray2: jax.Array) -> jax.Arr
 
     A = jax.vmap(build_A)(ray1, ray2)  # [N,4,4]
     AtA = jnp.einsum("nij,nik->njk", A, A, precision=_HI)
-    _, evecs = jnp.linalg.eigh(AtA)
-    Xh = evecs[..., :, 0]  # smallest eigenvalue eigenvector
+    # smallest eigenvector by shifted inverse-power iteration with a
+    # closed-form 4x4 inverse: batched tiny eigh lowers very slowly on
+    # TPU, while adjugate-inverse + 3 matvecs is pure elementwise math.
+    # The shift is a fraction of the diagonal scale, so (AtA - sI) is
+    # well-conditioned for inversion while the smallest eigencomponent
+    # still dominates the iteration.
+    diag_scale = jnp.einsum("nii->n", AtA) / 4.0
+    M = AtA + 1e-6 * jnp.maximum(diag_scale, 1e-12)[:, None, None] * jnp.eye(4)
+    Minv = _inv4x4(M)
+    v = jnp.ones(AtA.shape[:-2] + (4,))
+    for _ in range(3):
+        v = jnp.einsum("nij,nj->ni", Minv, v, precision=_HI)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    Xh = v
     w = Xh[..., 3]
     safe = jnp.abs(w) > 1e-9
     X = Xh[..., :3] / jnp.where(safe, w, 1.0)[..., None]
     return jnp.where(safe[..., None], X, 0.0)
+
+
+def _inv4x4(m: jax.Array) -> jax.Array:
+    """Closed-form batched 4x4 inverse via cofactor expansion (elementwise
+    only — no LU/eig lowering)."""
+    # unpack
+    a = [[m[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(r0, r1, r2, c0, c1, c2):
+        return (
+            a[r0][c0] * (a[r1][c1] * a[r2][c2] - a[r1][c2] * a[r2][c1])
+            - a[r0][c1] * (a[r1][c0] * a[r2][c2] - a[r1][c2] * a[r2][c0])
+            + a[r0][c2] * (a[r1][c0] * a[r2][c1] - a[r1][c1] * a[r2][c0])
+        )
+
+    rows = (0, 1, 2, 3)
+    cof = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        ri = tuple(r for r in rows if r != i)
+        for j in range(4):
+            cj = tuple(c for c in rows if c != j)
+            sign = 1.0 if (i + j) % 2 == 0 else -1.0
+            cof[i][j] = sign * det3(ri[0], ri[1], ri[2], cj[0], cj[1], cj[2])
+    det = sum(a[0][j] * cof[0][j] for j in range(4))
+    adj = jnp.stack([jnp.stack([cof[j][i] for j in range(4)], -1) for i in range(4)], -2)
+    det_safe = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return adj / det_safe[..., None, None]
 
 
 def triangulate_midpoint(R1, t1, R2, t2, ray1, ray2):

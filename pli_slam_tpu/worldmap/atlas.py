@@ -157,6 +157,7 @@ def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel,
         ps,
         x=scatter_rows(ps.x, src_pts, pt_slots, pt_ok),
         desc=scatter_rows(ps.desc, src.pstore.desc, pt_slots, pt_ok),
+        desc_bank=scatter_rows(ps.desc_bank, src.pstore.desc_bank, pt_slots, pt_ok),
         valid=scatter_rows(ps.valid, src.pstore.valid, pt_slots, pt_ok),
         n_obs=scatter_rows(ps.n_obs, src.pstore.n_obs, pt_slots, pt_ok),
         visible=scatter_rows(ps.visible, src.pstore.visible, pt_slots, pt_ok),

@@ -30,11 +30,14 @@ import jax.numpy as jnp
 from pli_slam_tpu.utils.config import MapConfig
 
 
+DESC_BANK = 4  # stored descriptor views per point landmark
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PointStore:
     x: jax.Array  # [P,3] world position
-    desc: jax.Array  # [P,256] int8 ±1 distinctive descriptor
+    desc: jax.Array  # [P,256] int8 ±1 distinctive descriptor (bank medoid)
     valid: jax.Array  # [P] bool
     n_obs: jax.Array  # [P] int32
     visible: jax.Array  # [P] int32 — times projected in frustum
@@ -44,6 +47,11 @@ class PointStore:
     obs_bits: jax.Array  # [P, ceil(K/32)] uint32 — which KFs observe it
     # (the inverted incidence behind the covisibility graph; the dense
     # analog of MapPoint::mObservations keys, reference src/MapPoint.cc)
+    desc_bank: jax.Array  # [P, DESC_BANK, 256] int8 — recent observed
+    # descriptor views (ring by n_obs); `desc` is maintained as the
+    # bank's min-sum-Hamming medoid, the incremental analog of the
+    # reference's ComputeDistinctiveDescriptors over all observations
+    # (src/MapPoint.cc:300) without the O(obs^2) rebuild
 
     @staticmethod
     def empty(capacity: int, kf_capacity: int = 512) -> "PointStore":
@@ -57,6 +65,7 @@ class PointStore:
             first_kf=jnp.zeros(capacity, jnp.int32),
             last_kf=jnp.zeros(capacity, jnp.int32),
             obs_bits=jnp.zeros((capacity, (kf_capacity + 31) // 32), jnp.uint32),
+            desc_bank=jnp.zeros((capacity, DESC_BANK, 256), jnp.int8),
         )
 
 

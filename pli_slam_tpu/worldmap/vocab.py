@@ -69,6 +69,99 @@ class Vocabulary:
         return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
 
 
+@dataclasses.dataclass(frozen=True)
+class TrainedVocabulary:
+    """Learned flat vocabulary: word centroids from binary k-means
+    (k-majority) over training descriptors + IDF weights.
+
+    The reference ships learned ORBvoc/LSDvoc k-means TREES
+    (Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h, loaded at
+    src/System.cc:84-86); the tree exists to cheapen nearest-centroid
+    lookup on CPU. On the MXU a FLAT argmax-dot over all W centroids is
+    one [N,256]x[256,W] int8 matmul (~1.3 GOP at production budgets) —
+    no tree needed, identical quantization semantics, plus the same
+    TF-IDF weighting DBoW2 applies.
+
+    Same interface as `Vocabulary` (words/bow/n_words) so it drops into
+    the Tracker and BowDatabase unchanged.
+    """
+
+    centroids: np.ndarray  # [W, 256] int8 ±1
+    idf: np.ndarray  # [W] float32
+
+    @property
+    def n_words(self) -> int:
+        return self.centroids.shape[0]
+
+    def words(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+        dots = jnp.einsum(
+            "nd,wd->nw", desc.astype(jnp.int32), jnp.asarray(self.centroids, jnp.int32)
+        )
+        ids = jnp.argmax(dots, axis=-1).astype(jnp.int32)
+        return jnp.where(valid, ids, -1)
+
+    def bow(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+        ids = self.words(desc, valid)
+        hist = jnp.zeros(self.n_words).at[jnp.maximum(ids, 0)].add(
+            valid.astype(jnp.float32)
+        )
+        hist = hist * jnp.asarray(self.idf)
+        return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
+
+    def save(self, path: str):
+        np.savez_compressed(path, centroids=self.centroids, idf=self.idf)
+
+    @staticmethod
+    def load(path: str) -> "TrainedVocabulary":
+        d = np.load(path)
+        return TrainedVocabulary(centroids=d["centroids"], idf=d["idf"])
+
+
+def train_vocabulary(
+    desc_sets: list[np.ndarray], n_words: int = 1024, iters: int = 10, seed: int = 0
+) -> TrainedVocabulary:
+    """Binary k-means (k-majority) vocabulary training.
+
+    `desc_sets`: per-image ±1 int8 descriptor arrays (only valid rows).
+    Centroid update = sign of member sum (the binary mean, what DBoW2's
+    `meanValue` computes for FORB); assignment = max dot (min Hamming).
+    IDF from per-image word occurrence, as in DBoW2's TF_IDF weighting.
+    """
+    rng = np.random.default_rng(seed)
+    all_desc = np.concatenate([d for d in desc_sets if len(d)], axis=0)
+    n = all_desc.shape[0]
+    cent = all_desc[rng.choice(n, size=min(n_words, n), replace=False)].astype(np.int8)
+    if cent.shape[0] < n_words:  # degenerate tiny training set: pad by resample
+        extra = all_desc[rng.choice(n, size=n_words - cent.shape[0])]
+        cent = np.concatenate([cent, extra.astype(np.int8)], axis=0)
+    d32 = all_desc.astype(np.int32)
+    for _ in range(iters):
+        dots = d32 @ cent.astype(np.int32).T  # [N, W]
+        assign = np.argmax(dots, axis=1)
+        sums = np.zeros((n_words, 256), np.int64)
+        np.add.at(sums, assign, d32)
+        counts = np.bincount(assign, minlength=n_words)
+        new = np.where(sums >= 0, 1, -1).astype(np.int8)
+        # empty clusters: re-seed from random descriptors
+        empty = counts == 0
+        if empty.any():
+            new[empty] = all_desc[rng.choice(n, size=int(empty.sum()))]
+        cent = new
+    # IDF over the training images
+    n_imgs = len(desc_sets)
+    df = np.zeros(n_words, np.float64)
+    for d in desc_sets:
+        if not len(d):
+            continue
+        a = np.argmax(d.astype(np.int32) @ cent.astype(np.int32).T, axis=1)
+        df[np.unique(a)] += 1
+    idf = np.log(max(n_imgs, 1) / (1.0 + df)).clip(min=0.0).astype(np.float32)
+    # uniform fallback if everything is common (tiny training sets)
+    if not np.any(idf > 0):
+        idf[:] = 1.0
+    return TrainedVocabulary(centroids=cent, idf=idf)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BowDatabase:

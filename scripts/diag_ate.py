@@ -48,11 +48,21 @@ def main():
     frames = list(synthetic.make_sequence(cam, n_frames, fps=cfg.fps))
     tracker = Tracker(cam, cfg)
     tracker.streaming = os.environ.get("DIAG_STREAMING", "1") == "1"
+    timing = os.environ.get("DIAG_TIMING", "0") == "1"
+    import time
+
+    import jax as _jax
+
     for fr in frames:
+        t0 = time.perf_counter()
         info = tracker.process(fr["img_l"], fr["img_r"], fr["t"])
+        if timing:
+            _jax.block_until_ready(tracker.t)  # serialize: device ms per frame
+        ms = (time.perf_counter() - t0) * 1e3
         print(f"f={fr['t']*cfg.fps:3.0f} inl={info['n_inliers']:4d} kf={info['n_kf']:2d} "
               f"pts={info['n_points']:5d} lns={info['n_lines']:4d} new={info['new_landmarks']:4d} "
-              f"state={info['state']}", file=sys.stderr)
+              f"state={info['state']}" + (f" ms={ms:7.1f}" if timing else ""),
+              file=sys.stderr)
 
     gt = np.stack([fr["p_w"] for fr in frames])
     est = tracker.positions()

@@ -86,8 +86,25 @@ def main():
 
     from pli_slam_tpu.solve import gn
     obs = trk._pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_in, ln_idx, ln_in)
-    solve = jax.jit(partial(gn.solve_pose, cam))
-    bench("  gn.solve_pose", lambda: solve(obs, R, t, cfg.opt))
+    solve = jax.jit(lambda o, R_, t_: gn.solve_pose(cam, o, R_, t_, cfg.opt))
+    bench("  gn.solve_pose", lambda: solve(obs, R, t))
+
+    far = jax.jit(partial(trk.far_point_depths, cam, cfg))
+    bench("  far_point_depths (V views)", lambda: far(
+        frame, R, t, tracker._kf_view_dev, kstore))
+
+    # the REAL per-frame cost: the fused one-dispatch step, no-KF vs KF
+    def run_step(allow, fskf):
+        return tracker._step(
+            (img_l, img_r), 0.35, tracker.R, tracker.t,
+            tracker.R_prev, tracker.t_prev, tracker.vel_xi, tracker.has_vel,
+            tracker.n_kf, fskf, tracker.last_kf_inliers, allow,
+            tracker.pstore, tracker.lstore, tracker.kstore, tracker.bow_db,
+            tracker._kf_view_dev,
+        )
+
+    bench("fused step (no KF)", lambda: run_step(False, 1))
+    bench("fused step (KF forced)", lambda: run_step(True, 10 ** 6))
 
 
 if __name__ == "__main__":

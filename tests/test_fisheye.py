@@ -34,12 +34,55 @@ def test_undistort_uv_maps_to_pinhole_projection():
     assert err.max() < 0.05, err.max()
 
 
-def test_kb8_rejected_on_stereo_pipeline():
+def test_kb8_stereo_requires_rig_extrinsics():
     from pli_slam_tpu.frontend.tracker import Tracker
     from pli_slam_tpu.utils.config import SlamConfig
 
     with pytest.raises(ValueError):
-        Tracker(_kb8(bf=13.2), SlamConfig.tiny_test())
+        Tracker(_kb8(bf=13.2), SlamConfig.tiny_test())  # no T_rl
+
+
+@pytest.mark.slow
+def test_kb8_stereo_e2e_tracks():
+    """Fisheye STEREO: unrectifiable rig, so L/R association is
+    epipolar-gated two-view matching + DLT triangulation
+    (frame.build_frame_fisheye_stereo; reference
+    KannalaBrandt8::matchAndtriangulate, src/CameraModels/
+    KannalaBrandt8.cpp:240, fisheye Frame ctor src/Frame.cc:1484).
+    Metric depth comes from the rig baseline, so the trajectory aligns
+    WITHOUT scale (unlike the mono fisheye path)."""
+    import dataclasses as _dc
+
+    from pli_slam_tpu.frontend.tracker import Tracker, TrackingState
+    from pli_slam_tpu.utils import synthetic
+    from pli_slam_tpu.utils.config import SlamConfig
+
+    baseline = 0.11
+    cam = _kb8(bf=120.0 * baseline)
+    cfg = SlamConfig.tiny_test()
+    T_rl = np.eye(4, dtype=np.float32)
+    T_rl[0, 3] = -baseline  # x_right = x_left - baseline (camera moved +x)
+    tracker = Tracker(cam, cfg, T_rl=T_rl)
+
+    traj = synthetic.Trajectory(amp=(0.5, 0.35, 0.2), freq=(0.15, 0.19, 0.11), yaw_amp=0.25)
+    render = jax.jit(lambda R, t: synthetic.render_view(cam, R, t, room_half=2.55))
+    gt, infos = [], []
+    for k in range(24):
+        t = k / cfg.fps
+        R_wb, p = traj.pose(t)
+        R_j = jnp.asarray(R_wb, jnp.float32)
+        p_j = jnp.asarray(p, jnp.float32)
+        img_l = render(R_j, p_j)
+        img_r = render(R_j, p_j + R_j[:, 0] * baseline)
+        infos.append(tracker.process(img_l, img_r, t))
+        gt.append(p)
+    ok_frames = sum(1 for i in infos if i["state"] == TrackingState.OK)
+    assert ok_frames >= 20, ok_frames
+    assert infos[-1]["n_points"] > 30
+    est = tracker.positions()
+    ate = synthetic.ate_rmse(est, np.stack(gt))
+    path = np.linalg.norm(np.diff(np.stack(gt), axis=0), axis=1).sum()
+    assert ate < 0.35 * path, (ate, path)
 
 
 @pytest.mark.slow

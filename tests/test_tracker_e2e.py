@@ -92,3 +92,29 @@ def test_landmark_last_kf_written_by_product_path(run_result):
     assert p_last.max() <= n_kf - 1 and l_last.max() <= n_kf - 1
     l_first = np.asarray(tracker.lstore.first_kf)[lv]
     assert (l_last >= l_first).all()
+
+
+def test_distinctive_descriptor_is_bank_medoid(run_result):
+    """Landmark descriptors are maintained as the min-sum-Hamming medoid
+    of a small bank of stored views (reference ComputeDistinctiveDescriptors,
+    src/MapPoint.cc:300) — not the last view, which random-walks with
+    viewpoint. Verify the invariant on the live map: for re-observed
+    landmarks the stored desc IS a bank row, and it minimizes the
+    sum-of-Hamming over the valid bank rows."""
+    from pli_slam_tpu.worldmap.stores import DESC_BANK
+
+    tracker, infos, gt = run_result
+    pv = np.asarray(tracker.pstore.valid)
+    n_obs = np.asarray(tracker.pstore.n_obs)
+    desc = np.asarray(tracker.pstore.desc)
+    bank = np.asarray(tracker.pstore.desc_bank)
+    multi = pv & (n_obs >= 3)
+    assert multi.sum() > 10, "scene should re-observe many landmarks"
+    ids = np.nonzero(multi)[0][:50]
+    for i in ids:
+        nb = min(int(n_obs[i]), DESC_BANK)
+        rows = bank[i, :nb].astype(np.int32)
+        dists = (256 - rows @ rows.T) // 2
+        sums = dists.sum(axis=1)
+        best = int(np.argmin(sums))
+        assert (desc[i] == bank[i, best]).all(), i
