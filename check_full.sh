@@ -9,7 +9,7 @@ rc=0
 # chunk 1: fast unit/component tests
 timeout 1500 python -m pytest tests/ -q -m "not slow" || rc=1
 # chunk 1b: fast tests added after round 3
-timeout 1500 python -m pytest -q -m slow tests/test_fiba_full_map.py || rc=1
+timeout 1500 python -m pytest -q -m slow tests/test_fiba_full_map.py tests/test_multihost_dist.py tests/test_vocab_trained.py || rc=1
 # chunks 2..4: slow e2e tests, grouped to keep per-process memory bounded
 timeout 2400 python -m pytest -q -m slow \
     tests/test_tracker_e2e.py tests/test_system.py tests/test_streaming.py \

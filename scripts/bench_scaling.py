@@ -215,6 +215,14 @@ def write_scaling_md(rows, final_cost, pgo_rows, W, P, L, Kp):
         "distributed alternating GBA (`solve_gba_distributed`): its landmark",
         "step is local, and its pose step reduces the identical (6W)^2 system.",
         "",
+        "## Multi-host",
+        "",
+        "True multi-PROCESS execution (collectives crossing an OS process",
+        "boundary over gRPC — the DCN analog) is exercised by",
+        "`tests/test_multihost_dist.py`: two `jax.distributed` processes with",
+        "2 virtual CPU devices each form one 4-device global mesh and run",
+        "`solve_ba_distributed` to the identical converged cost.",
+        "",
         "Generated by `scripts/bench_scaling.py`.",
     ]
     with open(path, "w") as f:
