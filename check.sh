@@ -16,7 +16,8 @@ cd "$(dirname "$0")"
 python -m pytest -q \
     tests/test_lie.py tests/test_robust.py tests/test_camera.py \
     tests/test_imu.py tests/test_geometry_solvers.py tests/test_pose_solver.py \
-    tests/test_ba.py tests/test_yaml_full.py tests/test_log.py \
-    tests/test_pallas_hamming.py tests/test_rectify.py ${PYTEST_ARGS}
+    tests/test_ba.py tests/test_ba_compaction.py tests/test_yaml_full.py \
+    tests/test_log.py tests/test_pallas_hamming.py tests/test_rectify.py \
+    tests/test_covisibility.py ${PYTEST_ARGS}
 python -c "import ast; ast.parse(open('bench.py').read()); ast.parse(open('__graft_entry__.py').read())"
 echo "check.sh: OK"

@@ -55,9 +55,11 @@ def build_frame(cam: Camera, cfg: SlamConfig, img_l: jax.Array, img_r: jax.Array
 
     if cfg.use_lines:
         ll = line_ops.detect(img_l, cfg.lines)
-        lr = line_ops.detect(img_r, cfg.lines)
-        d0, d1, _, lok = line_ops.match_stereo_lines(
-            ll, lr, max_disparity=cfg.match.stereo_max_disparity
+        # right lines feed ONLY endpoint-disparity association: the
+        # geometric+photometric matcher needs no right LBD descriptor
+        lr = line_ops.detect(img_r, cfg.lines, with_desc=False)
+        d0, d1, _, lok = line_ops.match_stereo_lines_geom(
+            ll, lr, img_l, img_r, max_disparity=cfg.match.stereo_max_disparity
         )
         line_disp = jnp.stack([d0, d1], axis=-1)
     else:

@@ -22,6 +22,7 @@ per-keyframe host call into three jitted programs:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -355,18 +356,26 @@ class LoopCloser:
         )
         # global BA refines the whole corrected map (reference: the
         # transient RunGlobalBundleAdjustment thread, LoopClosing.cc:1087,
-        # :2243-2391; here one synchronous Schur program over all KFs)
+        # :2243-2391). Default: AMORTIZED — the PGO-corrected map is
+        # usable now and bounded refinement chunks run one per subsequent
+        # frame (tracker.run_deferred_ba), so the loop-closure frame does
+        # not blow the real-time budget with a full-map solve.
         if cfg.loop.run_gba:
-            from pli_slam_tpu.frontend import tracker as trk
-
-            if inertial:
+            if cfg.loop.gba_amortize and hasattr(tracker, "_queue_gba"):
+                tracker._queue_gba(inertial)
+            elif inertial:
                 # inertial maps refine velocities/biases jointly after the
                 # pose-graph correction (reference dispatches FullInertialBA
                 # from RunGlobalBundleAdjustment, src/LoopClosing.cc:2250)
                 tracker._full_inertial_ba()
             else:
-                tracker.kstore, tracker.pstore, tracker.lstore = trk.global_ba(
-                    tracker.cam, cfg, tracker.kstore, tracker.pstore, tracker.lstore
+                from pli_slam_tpu.frontend import tracker as trk
+
+                gba = getattr(tracker, "_gba_j", None) or partial(
+                    trk.global_ba, tracker.cam, cfg
+                )
+                tracker.kstore, tracker.pstore, tracker.lstore = gba(
+                    tracker.kstore, tracker.pstore, tracker.lstore
                 )
         # tracking continues from the corrected keyframe pose
         tracker.R = tracker.kstore.R[kf_slot]

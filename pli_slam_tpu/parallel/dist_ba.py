@@ -26,6 +26,7 @@ import dataclasses
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -44,7 +45,9 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def partition_observations(prob: ba_mod.BAProblem, n_shards: int) -> ba_mod.BAProblem:
+def partition_observations(
+    prob: ba_mod.BAProblem, n_shards: int, compact: bool = True
+) -> ba_mod.BAProblem:
     """Re-index a pose-major problem into `n_shards` landmark shards.
 
     Landmarks are split into contiguous blocks; each observation row is
@@ -53,6 +56,13 @@ def partition_observations(prob: ba_mod.BAProblem, n_shards: int) -> ba_mod.BAPr
     per-pose slot ids were unique globally). Observation slots whose
     landmark belongs to another shard are masked out locally — across
     all shards every observation is counted exactly once.
+
+    With `compact` (default), each shard's observation arrays are
+    GATHERED down to (a small pad over) the rows it owns instead of
+    carrying the full masked-out global arrays: per-shard linearization
+    work then scales ~1/n_shards, which is what makes the distributed
+    solve load-balanced at production shapes (16k landmarks / 100k
+    observations) rather than merely correct.
     """
     P_total = prob.pts.shape[0]
     L_total = prob.lns.shape[0]
@@ -69,21 +79,47 @@ def partition_observations(prob: ba_mod.BAProblem, n_shards: int) -> ba_mod.BAPr
     own_p, loc_p = shard_obs(prob.po_pt, p_blk)
     own_l, loc_l = shard_obs(prob.lo_ln, l_blk)
 
+    if compact:
+        own_p_np = np.asarray(own_p)
+        own_l_np = np.asarray(own_l)
+        po_rows = [np.nonzero(own_p_np == s)[0] for s in range(n_shards)]
+        lo_rows = [np.nonzero(own_l_np == s)[0] for s in range(n_shards)]
+        po_cap = max(max((len(r) for r in po_rows), default=1), 1)
+        lo_cap = max(max((len(r) for r in lo_rows), default=1), 1)
+
+        def pad_rows(rows, cap):
+            out = np.zeros(cap, np.int64)  # padded rows point at row 0...
+            out[: len(rows)] = rows
+            keep = np.zeros(cap, bool)
+            keep[: len(rows)] = True  # ...and are masked off here
+            return jnp.asarray(out), jnp.asarray(keep)
+
     reps = []
     for s in range(n_shards):
-        reps.append(
-            dataclasses.replace(
-                prob,
-                pts=prob.pts[s * p_blk : (s + 1) * p_blk],
-                pt_mask=prob.pt_mask[s * p_blk : (s + 1) * p_blk],
-                lns=prob.lns[s * l_blk : (s + 1) * l_blk],
-                ln_mask=prob.ln_mask[s * l_blk : (s + 1) * l_blk],
-                po_pt=jnp.where(own_p == s, loc_p, -1),
-                po_mask=prob.po_mask & (own_p == s),
-                lo_ln=jnp.where(own_l == s, loc_l, -1),
-                lo_mask=prob.lo_mask & (own_l == s),
-            )
+        rep = dataclasses.replace(
+            prob,
+            pts=prob.pts[s * p_blk : (s + 1) * p_blk],
+            pt_mask=prob.pt_mask[s * p_blk : (s + 1) * p_blk],
+            lns=prob.lns[s * l_blk : (s + 1) * l_blk],
+            ln_mask=prob.ln_mask[s * l_blk : (s + 1) * l_blk],
+            po_pt=jnp.where(own_p == s, loc_p, -1),
+            po_mask=prob.po_mask & (own_p == s),
+            lo_ln=jnp.where(own_l == s, loc_l, -1),
+            lo_mask=prob.lo_mask & (own_l == s),
         )
+        if compact:
+            pr, pk = pad_rows(po_rows[s], po_cap)
+            lr, lk = pad_rows(lo_rows[s], lo_cap)
+            rep = dataclasses.replace(
+                rep,
+                po_pose=rep.po_pose[pr], po_pt=rep.po_pt[pr],
+                po_uvr=rep.po_uvr[pr], po_stereo=rep.po_stereo[pr],
+                po_sigma2=rep.po_sigma2[pr], po_mask=rep.po_mask[pr] & pk,
+                lo_pose=rep.lo_pose[lr], lo_ln=rep.lo_ln[lr],
+                lo_l=rep.lo_l[lr], lo_sigma2=rep.lo_sigma2[lr],
+                lo_mask=rep.lo_mask[lr] & lk,
+            )
+        reps.append(rep)
     # stack shard-locals along the leading (sharded) axis
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *reps)
 

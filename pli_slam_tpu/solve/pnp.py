@@ -23,6 +23,16 @@ from pli_slam_tpu.utils.config import OptimizerConfig
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _sample_probs(mask: jax.Array) -> jax.Array:
+    """Hypothesis sampling weights; uniform fallback when the mask is
+    all-False (jax.random.choice with an all-zero p is undefined — the
+    min_inliers gate rejects whatever the fallback samples produce)."""
+    probs = mask.astype(jnp.float32)
+    total = probs.sum()
+    uniform = jnp.full_like(probs, 1.0 / probs.shape[0])
+    return jnp.where(total > 0, probs / jnp.maximum(total, 1e-9), uniform)
+
+
 def ransac_pnp(
     cam,
     x_w: jax.Array,  # [N,3] world points
@@ -41,8 +51,7 @@ def ransac_pnp(
     — each hypothesis costs one 4x4 eigendecomposition, all in parallel.
     """
     n = x_w.shape[0]
-    probs = mask.astype(jnp.float32)
-    probs = probs / jnp.maximum(probs.sum(), 1e-9)
+    probs = _sample_probs(mask)
     idx = jax.random.choice(key, n, shape=(n_hypotheses, 3), replace=True, p=probs)
 
     rays = cam_ops.unproject(cam, uv)  # [N,3] z=1
@@ -87,8 +96,7 @@ def ransac_pnp_dlt(
     the stereo path.
     """
     n = x_w.shape[0]
-    probs = mask.astype(jnp.float32)
-    probs = probs / jnp.maximum(probs.sum(), 1e-9)
+    probs = _sample_probs(mask)
     idx = jax.random.choice(key, n, shape=(n_hypotheses, 6), replace=True, p=probs)
 
     rays = cam_ops.unproject(cam, uv)  # [N,3] z=1 (normalized image coords)
@@ -105,25 +113,22 @@ def ransac_pnp_dlt(
     _, _, vt = jnp.linalg.svd(A)
     p = vt[:, -1, :]  # [H,12]
     P = p.reshape(-1, 3, 4)
+    # resolve the projective sign on P ITSELF: the true P has
+    # det(M) = s^3 > 0 (M = sR, proper R, positive scale), so flipping P
+    # where det(M) < 0 recovers +P_true directly — elementwise-negating
+    # R after extraction yields a garbage nearest-rotation (nearest SO(3)
+    # to -R is a degenerate 180-degree flip) and wastes ~half the
+    # hypotheses
     M = P[:, :, :3]
-    # orthonormalize: M = s R with R in SO(3)
+    sdet = jnp.sign(jnp.linalg.det(M))
+    P = P * jnp.where(sdet == 0, 1.0, sdet)[:, None, None]
+    M = P[:, :, :3]
+    # orthonormalize: M = s R; det(M) > 0 now, so det(U Vt) = +1 and
+    # U Vt is the proper rotation with no correction term
     U, S, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(jnp.einsum("hij,hjk->hik", U, Vt))
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R_h = jnp.einsum("hij,hj,hjk->hik", U, D, Vt, precision=_HI)
-    scale = jnp.mean(S, axis=-1) * jnp.where(det < 0, -1.0, 1.0)
-    # overall projective sign: demand positive depth for the sample
-    t_h = P[:, :, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)[:, None]
-    z_sample = jnp.einsum("hij,hnj->hni", R_h, X, precision=_HI)[..., 2] + t_h[:, None, 2]
-    flip = jnp.sum(jnp.where(z_sample > 0, 1.0, -1.0), axis=1) < 0
-    t_h = jnp.where(flip[:, None], -t_h, t_h)
-    R_h = jnp.where(flip[:, None, None], -R_h, R_h)
-    # -R is not a rotation after sign flip combined with det fix unless
-    # re-projected; re-orthonormalize the flipped ones
-    U2, _, Vt2 = jnp.linalg.svd(R_h)
-    det2 = jnp.linalg.det(jnp.einsum("hij,hjk->hik", U2, Vt2))
-    D2 = jnp.stack([jnp.ones_like(det2), jnp.ones_like(det2), det2], axis=-1)
-    R_h = jnp.einsum("hij,hj,hjk->hik", U2, D2, Vt2, precision=_HI)
+    R_h = jnp.einsum("hij,hjk->hik", U, Vt, precision=_HI)
+    scale = jnp.mean(S, axis=-1)
+    t_h = P[:, :, 3] / jnp.maximum(scale, 1e-12)[:, None]
 
     xc = jnp.einsum("hij,nj->hni", R_h, x_w, precision=_HI) + t_h[:, None, :]
     uv_p = cam_ops.project(cam, xc)

@@ -103,24 +103,44 @@ class System:
         (reference System::ResetActiveMap, src/System.h:151)."""
         self.tracker.reset_active_map()
 
+    def shutdown(self):
+        """Drain amortized post-loop GBA chunks (reference System::Shutdown
+        joins the GBA thread, src/System.cc:379)."""
+        self.tracker.finalize()
+
     # -- trajectory output -------------------------------------------------
     def save_trajectory_tum(self, path: str):
+        self.tracker.finalize()
         tio.save_tum(path, self.tracker.trajectory)
 
     def save_trajectory_euroc(self, path: str):
+        self.tracker.finalize()
         tio.save_euroc(path, self.tracker.trajectory)
 
     def save_trajectory_kitti(self, path: str):
+        self.tracker.finalize()
         tio.save_kitti(path, self.tracker.trajectory)
 
-    def save_keyframe_trajectory_tum(self, path: str):
+    def _keyframe_trajectory(self):
+        self.tracker.finalize()
         ks = self.tracker.kstore
         traj = []
         for k in range(self.tracker.n_kf):
             R_cw = np.asarray(ks.R[k])
             t_cw = np.asarray(ks.t[k])
             traj.append((float(ks.stamp[k]), R_cw.T, -R_cw.T @ t_cw))
-        tio.save_tum(path, traj)
+        return traj
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        tio.save_tum(path, self._keyframe_trajectory())
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """(reference System::SaveKeyFrameTrajectoryEuRoC, src/System.cc:602)"""
+        tio.save_euroc(path, self._keyframe_trajectory())
+
+    def save_keyframe_trajectory_kitti(self, path: str):
+        """(reference KITTI-format keyframe saver, src/System.cc:654 family)"""
+        tio.save_kitti(path, self._keyframe_trajectory())
 
     # -- stats (reference SAVE_TIMES instrumentation) ----------------------
     def timing_stats(self) -> dict:
@@ -130,6 +150,26 @@ class System:
             "median_ms": float(np.median(times) * 1e3) if len(times) else 0.0,
             "fps": float(1.0 / max(np.median(times), 1e-9)) if len(times) else 0.0,
         }
+
+    def save_imu_init_log(self, path: str):
+        """Per-attempt IMU-initialization debug CSV (reference
+        System::SaveDebugData, src/System.cc:708-761): keyframe count,
+        accept/reject reason, estimated scale, gravity angle from
+        vertical, gyro/accel biases, solver cost drop, wall time."""
+        cols = ("n_kf", "accepted", "reason", "scale", "gravity_angle_deg",
+                "bg", "ba", "cost0", "cost1", "wall_ms")
+        with open(path, "w") as f:
+            f.write(",".join(cols) + "\n")
+            for rec in self.tracker.imu_init_log:
+                row = []
+                for c in cols:
+                    v = rec.get(c, "")
+                    if isinstance(v, list):
+                        v = " ".join(f"{x:.6g}" for x in v)
+                    elif isinstance(v, float):
+                        v = f"{v:.6g}"
+                    row.append(str(v))
+                f.write(",".join(row) + "\n")
 
     # -- checkpoint / resume (reference Map::Save/Load + SaveAtlas) --------
     def save_map(self, path: str):
@@ -150,7 +190,13 @@ class System:
         for name, store_attr in (("pt", "pstore"), ("ln", "lstore"), ("kf", "kstore")):
             store = getattr(tr, store_attr)
             kw = {
-                f.name: jnp.asarray(data[f"{name}_{f.name}"])
+                # fields added after a snapshot was written keep their
+                # empty-store value (e.g. ln_obs_bits on pre-round-5 maps)
+                f.name: (
+                    jnp.asarray(data[f"{name}_{f.name}"])
+                    if f"{name}_{f.name}" in data
+                    else getattr(store, f.name)
+                )
                 for f in dataclasses.fields(store)
             }
             setattr(tr, store_attr, type(store)(**kw))

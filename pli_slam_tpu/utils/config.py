@@ -39,13 +39,13 @@ class LineConfig:
     grad_threshold: float = 30.0
     n_bands: int = 9  # LBD bands
     band_width: int = 7
-    lbd_samples: int = 24  # along-line sample count for the LBD grid
+    lbd_samples: int = 16  # along-line sample count for the LBD grid
     # Hough-based detector (TPU-native replacement for LSD region growing)
     theta_bins: int = 180
     rho_res: float = 2.0
     n_voters: int = 16384  # strongest edge pixels that cast Hough votes
     n_candidates: int = 256  # Hough peaks considered before segment NMS
-    n_samples: int = 384  # along-line support samples per candidate
+    n_samples: int = 288  # along-line support samples per candidate
     support_angle_deg: float = 22.5
     max_gap: int = 4  # tolerated support gap, in samples
     sigma_px: float = 2.0  # endpoint-to-line measurement noise (Hough sample quantization)
@@ -128,6 +128,7 @@ class ImuConfig:
     gravity: float = 9.81
     max_samples_per_frame: int = 32  # padded preintegration batch per frame
     init_time_sec: float = 2.0  # min data span before IMU init
+    init_min_kfs: int = 10  # min keyframes before IMU init (LocalMapping.cc:1164)
     # Body->camera extrinsics T_bc as 16 row-major floats (None = identity).
     # The reference parses this as "Tbc" from the YAML (src/Tracking.cc:761)
     # into IMU::Calib; EuRoC's actual value has a ~90 deg rotation component.
@@ -141,6 +142,13 @@ class MapConfig:
     max_keyframes: int = 512
     max_points: int = 16384
     max_lines: int = 4096
+    # tracking matches against a LOCAL-MAP subset of this many point
+    # slots (the covisibility neighborhood of the newest keyframe —
+    # reference Tracking::UpdateLocalPoints/SearchLocalPoints,
+    # src/Tracking.cc:3767/:3942) instead of the full padded store:
+    # 4x less per-frame matching work at production capacity
+    local_map_points: int = 4096
+    local_map_kfs: int = 8  # covis neighbors whose observations seed it
     max_obs_per_kf_points: int = 1536  # per-KF point observation slots
     max_obs_per_kf_lines: int = 256
     cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:301)
@@ -157,6 +165,15 @@ class LoopConfig:
     min_kf_gap: int = 12  # guard before attempting detection (LoopClosing.cc:259-278)
     bow_candidates: int = 3  # DetectNBestCandidates(3) (LoopClosing.cc:395)
     run_gba: bool = True  # global BA after loop correction (LoopClosing.cc:1087)
+    # amortize the post-loop global BA over subsequent frames instead of
+    # blocking the loop-closure frame: the PGO-corrected map is usable
+    # immediately and refinement chunks run one per frame — the
+    # deterministic analog of the reference's transient GBA thread racing
+    # LocalMapping (src/LoopClosing.cc:1087, :2287-2335), with the
+    # after-the-fact reconciliation made unnecessary because each chunk
+    # operates on the live map
+    gba_amortize: bool = True
+    gba_chunk_iters: int = 3  # LM iterations per amortized chunk
     sim3_hypotheses: int = 256  # batched RANSAC hypotheses (replaces iterate())
     sim3_min_inliers: int = 20
     # projection re-verification (reference DetectAndReffineSim3FromLastKF

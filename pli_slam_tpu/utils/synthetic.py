@@ -162,6 +162,48 @@ class Trajectory:
         return w.astype(np.float32), a_b.astype(np.float32)
 
 
+@dataclasses.dataclass(frozen=True)
+class ImuNoiseModel:
+    """Additive IMU corruption: white noise + constant bias + bias random
+    walk. Continuous-time densities, discretized at the sample rate
+    (sigma_d = sigma_c * sqrt(rate); walk step = walk_c * sqrt(dt))."""
+
+    noise_gyro: float = 1.7e-4  # rad/s/sqrt(Hz)
+    noise_acc: float = 2.0e-3  # m/s^2/sqrt(Hz)
+    walk_gyro: float = 1.94e-5  # rad/s^2/sqrt(Hz)
+    walk_acc: float = 3.0e-3  # m/s^3/sqrt(Hz)
+    bg0: tuple = (0.003, -0.002, 0.004)  # constant gyro bias, rad/s
+    ba0: tuple = (0.05, -0.03, 0.06)  # constant accel bias, m/s^2
+    seed: int = 0
+
+    @staticmethod
+    def euroc() -> "ImuNoiseModel":
+        """The reference's EuRoC noise operating point
+        (Examples/Stereo-Inertial/Config/EuRoC.yaml:44-49)."""
+        return ImuNoiseModel()
+
+
+class _ImuCorruptor:
+    """Stateful sampler: applies an ImuNoiseModel to ideal samples,
+    integrating the bias random walk across calls (chronological)."""
+
+    def __init__(self, model: ImuNoiseModel, rate_hz: float):
+        self.m = model
+        self.rng = np.random.default_rng(model.seed)
+        self.sq_rate = math.sqrt(rate_hz)
+        self.sq_dt = math.sqrt(1.0 / rate_hz)
+        self.bg = np.asarray(model.bg0, np.float32).copy()
+        self.ba = np.asarray(model.ba0, np.float32).copy()
+
+    def __call__(self, gyro: np.ndarray, acc: np.ndarray):
+        m = self.m
+        g = gyro + self.bg + (m.noise_gyro * self.sq_rate) * self.rng.standard_normal(3)
+        a = acc + self.ba + (m.noise_acc * self.sq_rate) * self.rng.standard_normal(3)
+        self.bg = self.bg + (m.walk_gyro * self.sq_dt) * self.rng.standard_normal(3)
+        self.ba = self.ba + (m.walk_acc * self.sq_dt) * self.rng.standard_normal(3)
+        return g.astype(np.float32), a.astype(np.float32)
+
+
 def make_sequence(
     cam: Camera,
     n_frames: int,
@@ -171,6 +213,7 @@ def make_sequence(
     room_half: float = ROOM_HALF,
     with_depth: bool = False,
     Tbc: np.ndarray | None = None,
+    imu_noise: ImuNoiseModel | None = None,
 ):
     """Generator yielding per-frame dicts with stereo images, gt pose, imu batch.
 
@@ -184,6 +227,7 @@ def make_sequence(
     render = jax.jit(partial(render_view, room_half=room_half))
     render_d = jax.jit(partial(render_depth, room_half=room_half)) if with_depth else None
     n_imu = int(round(imu_rate / fps))
+    corrupt = _ImuCorruptor(imu_noise, imu_rate) if imu_noise is not None else None
     R_bc = np.eye(3, dtype=np.float32) if Tbc is None else np.asarray(Tbc, np.float32)[:3, :3]
     t_bc = np.zeros(3, np.float32) if Tbc is None else np.asarray(Tbc, np.float32)[:3, 3]
     for k in range(n_frames):
@@ -203,6 +247,8 @@ def make_sequence(
         acc = np.zeros((n_imu, 3), np.float32)
         for i, ts in enumerate(stamps):
             gyro[i], acc[i] = traj.imu_sample(max(ts, 0.0))
+            if corrupt is not None:
+                gyro[i], acc[i] = corrupt(gyro[i], acc[i])
         yield {
             "t": t,
             "img_l": img_l,

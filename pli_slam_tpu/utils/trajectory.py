@@ -65,6 +65,36 @@ def load_tum(path: str) -> list[tuple[float, np.ndarray, np.ndarray]]:
     return out
 
 
+def load_euroc(path: str) -> list[tuple[float, np.ndarray, np.ndarray]]:
+    """Parse the EuRoC CSV format written by save_euroc (round-trip)."""
+    import jax.numpy as jnp
+
+    from pli_slam_tpu.ops import lie
+
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            vals = [float(v) for v in line.split(",")]
+            stamp_ns, tx, ty, tz, qw, qx, qy, qz = vals[:8]
+            R = np.asarray(lie.rotation_from_quat(jnp.asarray([qw, qx, qy, qz], jnp.float32)))
+            out.append((stamp_ns * 1e-9, R, np.array([tx, ty, tz])))
+    return out
+
+
+def load_kitti(path: str) -> list[tuple[float, np.ndarray, np.ndarray]]:
+    """Parse the KITTI 12-number [R|t] format (stamps are row indices)."""
+    out = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if not line.strip():
+                continue
+            T = np.array([float(v) for v in line.split()]).reshape(3, 4)
+            out.append((float(i), T[:, :3].copy(), T[:, 3].copy()))
+    return out
+
+
 def align_umeyama(est: np.ndarray, gt: np.ndarray, with_scale: bool = False):
     """SE(3)/Sim(3) alignment est->gt. Returns (s, R, t)."""
     est = np.asarray(est, np.float64)

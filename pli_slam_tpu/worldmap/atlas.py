@@ -226,17 +226,25 @@ def merge_maps(dst: MapBundle, src: MapBundle, R_rel, t_rel,
     covis_src = jnp.einsum("ji,ik->jk", P, src.kstore.covis, precision=_HI)
     covis_src = jnp.einsum("jk,lk->jl", covis_src, P, precision=_HI)
     ks = dataclasses.replace(ks, covis=ks.covis + covis_src)
-    KW = ps.obs_bits.shape[1]
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    src_bits = ((src.pstore.obs_bits[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
-    src_bits = src_bits.reshape(src.pstore.obs_bits.shape[0], -1)[:, :K].astype(jnp.int32)
-    new_bits = jnp.einsum("pi,ji->pj", src_bits, P, precision=_HI)  # [P, K]
-    padded = jnp.pad(new_bits, ((0, 0), (0, KW * 32 - K))).reshape(-1, KW, 32)
-    repacked = jnp.sum(
-        padded.astype(jnp.uint32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
-    )
+
+    def transport_bits(obs_bits_src):
+        """Permute a [*, ceil(K/32)] KF-incidence bitset through P."""
+        KW = obs_bits_src.shape[1]
+        bits = ((obs_bits_src[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
+        bits = bits.reshape(obs_bits_src.shape[0], -1)[:, :K].astype(jnp.int32)
+        new_bits = jnp.einsum("pi,ji->pj", bits, P, precision=_HI)  # [*, K]
+        padded = jnp.pad(new_bits, ((0, 0), (0, KW * 32 - K))).reshape(-1, KW, 32)
+        return jnp.sum(
+            padded.astype(jnp.uint32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32
+        )
+
+    repacked = transport_bits(src.pstore.obs_bits)
     ps = dataclasses.replace(
         ps, obs_bits=scatter_rows(ps.obs_bits, repacked, pt_slots, pt_ok)
+    )
+    ls = dataclasses.replace(
+        ls, obs_bits=scatter_rows(ls.obs_bits, transport_bits(src.lstore.obs_bits), ln_slots, ln_ok)
     )
     if fuse_src is not None:
         # fused landmarks: accumulate the src observations onto the dst row

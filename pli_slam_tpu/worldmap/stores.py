@@ -80,9 +80,15 @@ class LineStore:
     found: jax.Array  # [L] int32
     first_kf: jax.Array  # [L] int32
     last_kf: jax.Array  # [L] int32
+    # which KFs observe each line — feeds covisibility weights alongside
+    # the point incidence (the reference DECLARES this counter but has it
+    # commented out, src/KeyFrame.cc:573-590; SURVEY's stance is to fix
+    # reference bugs, so line-rich/point-poor scenes pick the right
+    # BA window and essential-graph edges here)
+    obs_bits: jax.Array  # [L, ceil(K/32)] uint32
 
     @staticmethod
-    def empty(capacity: int) -> "LineStore":
+    def empty(capacity: int, kf_capacity: int = 512) -> "LineStore":
         return LineStore(
             seg=jnp.zeros((capacity, 6)),
             desc=jnp.zeros((capacity, 256), jnp.int8),
@@ -92,6 +98,7 @@ class LineStore:
             found=jnp.ones(capacity, jnp.int32),
             first_kf=jnp.zeros(capacity, jnp.int32),
             last_kf=jnp.zeros(capacity, jnp.int32),
+            obs_bits=jnp.zeros((capacity, (kf_capacity + 31) // 32), jnp.uint32),
         )
 
 

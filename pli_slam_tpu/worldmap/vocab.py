@@ -194,11 +194,23 @@ def query(
     exclude_mask: jax.Array,
     n_best: int = 3,
     line_weight: float = 0.3,
+    covis: jax.Array | None = None,
+    group_size: int = 10,
 ):
     """Top-n_best candidate keyframes by combined point+line similarity.
 
     (reference: DetectNBestCandidates semantics with the joint
     point+line gating of DetectLoopCandidatesWithLine applied live.)
+
+    With `covis` (a [K, K] covisibility-weight matrix), scores are
+    accumulated over each candidate's top-`group_size` covisible
+    neighbors before ranking, and the best individual keyframe of each
+    winning group is returned — the reference's group accumulation in
+    DetectNBestCandidates (src/KeyFrameDatabase.cc:806), the standard
+    defense against perceptual aliasing: a single look-alike keyframe
+    elsewhere cannot outrank a run of genuinely revisited ones, because
+    the true site's neighbors all score while the alias stands alone.
+
     Returns (slots [n_best] int32, scores [n_best]).
     """
     score = (
@@ -206,5 +218,31 @@ def query(
         + line_weight * jnp.einsum("kw,w->k", db.hist_ln, bow_ln, precision=_HI)
     )
     score = jnp.where(db.valid & ~exclude_mask, score, -1.0)
-    top_scores, top_idx = jax.lax.top_k(score, n_best)
-    return top_idx.astype(jnp.int32), top_scores
+    if covis is None:
+        top_scores, top_idx = jax.lax.top_k(score, n_best)
+        return top_idx.astype(jnp.int32), top_scores
+
+    K = score.shape[0]
+    s = jnp.maximum(score, 0.0)  # excluded/invalid contribute nothing
+    w = jnp.where(covis > 0, covis.astype(jnp.float32), -1.0)
+    w = jnp.where(jnp.eye(K, dtype=bool), -1.0, w)  # self handled separately
+    g = min(group_size, K - 1)
+    thr = jax.lax.top_k(w, max(g, 1))[0][:, -1:]  # [K,1] g-th largest weight
+    nb = (w >= jnp.maximum(thr, 1e-9)) & (w > 0)
+    acc = s + jnp.einsum("kj,j->k", nb.astype(s.dtype), s, precision=_HI)
+    acc = jnp.where(score > -0.5, acc, -1.0)  # anchor must be a candidate
+    top_acc, anchors = jax.lax.top_k(acc, n_best)
+    # best individual member of each winning group (reference pBestScKF)
+    member = nb[anchors] | jax.nn.one_hot(anchors, K, dtype=bool)
+    member_s = jnp.where(member & (score > -0.5)[None], s[None], -1.0)
+    best = jnp.argmax(member_s, axis=1).astype(jnp.int32)
+    best_s = jnp.take_along_axis(member_s, best[:, None], axis=1)[:, 0]
+    slots = jnp.where(top_acc > 0, best, -1)
+    # dedup: overlapping groups can elect the same keyframe
+    eq_prev = (slots[:, None] == slots[None, :]) & (
+        jnp.arange(n_best)[None, :] < jnp.arange(n_best)[:, None]
+    )
+    dup = jnp.any(eq_prev & (slots[:, None] >= 0), axis=1)
+    slots = jnp.where(dup, -1, slots)
+    scores = jnp.where(slots >= 0, best_s, -1.0)
+    return slots, scores

@@ -100,7 +100,7 @@ def main():
             tracker.R_prev, tracker.t_prev, tracker.vel_xi, tracker.has_vel,
             tracker.n_kf, fskf, tracker.last_kf_inliers, allow,
             tracker.pstore, tracker.lstore, tracker.kstore, tracker.bow_db,
-            tracker._kf_view_dev,
+            tracker._kf_view_dev, tracker._local_pt,
         )
 
     bench("fused step (no KF)", lambda: run_step(False, 1))

@@ -85,3 +85,60 @@ def test_covis_window_prefers_covisible():
     assert 0 in window.tolist(), window  # the revisited keyframe is in
     assert int(np.asarray(fixed).sum()) >= 1
     assert window[0] == n - 1
+
+
+def test_line_only_covisibility_weight():
+    """Line observations count in covisibility weights (improving on the
+    reference, whose line increment is commented out —
+    src/KeyFrame.cc:573-590): a keyframe that shares ONLY line landmarks
+    with an earlier keyframe still gets a nonzero covis edge."""
+    import dataclasses
+
+    import jax
+
+    from pli_slam_tpu.frontend.frame import make_build_frame
+    from pli_slam_tpu.worldmap import stores as st
+
+    cfg = SlamConfig.tiny_test()
+    cam = Camera.pinhole(fx=120.0, fy=120.0, cx=64.0, cy=48.0, bf=13.2,
+                         width=128, height=96)
+    fr = next(iter(synthetic.make_sequence(cam, 1, fps=cfg.fps)))
+    frame = make_build_frame(cam, cfg)(fr["img_l"], fr["img_r"])
+    assert int(np.asarray(frame.lines.valid.sum())) > 0
+
+    m = cfg.map
+    pstore = st.PointStore.empty(m.max_points)
+    lstore = st.LineStore.empty(m.max_lines)
+    kstore = st.KeyFrameStore.empty(m.max_keyframes, cfg.orb.n_features,
+                                    cfg.lines.n_lines)
+    R = jnp.eye(3)
+    t = jnp.zeros(3)
+    nf = cfg.orb.n_features
+    nl = cfg.lines.n_lines
+    no_pt = (jnp.full(nf, -1, jnp.int32), jnp.zeros(nf, bool))
+    insert = jax.jit(lambda *a: trk.insert_keyframe(cam, cfg, *a))
+
+    # KF0: creates line landmarks (and points, but points are never
+    # re-associated below)
+    pstore, lstore, kstore, _ = insert(
+        frame, R, t, 0.0, *no_pt, jnp.full(nl, -1, jnp.int32),
+        jnp.zeros(nl, bool), 0, pstore, lstore, kstore)
+    ln0 = np.asarray(kstore.obs_ln[0])
+    assert (ln0 >= 0).sum() > 0
+
+    # kill every point landmark so neither explicit association nor the
+    # fuse-before-create channel can add point covisibility — the edge
+    # below can only come from shared LINES
+    pstore = dataclasses.replace(pstore, valid=jnp.zeros_like(pstore.valid))
+
+    # KF1: re-observes ONLY the lines created at KF0 (pt associations
+    # empty; freshly created landmarks are excluded from the count)
+    ln_idx = jnp.asarray(ln0, jnp.int32)
+    ln_in = ln_idx >= 0
+    pstore, lstore, kstore, _ = insert(
+        frame, R, t, 0.5, *no_pt, ln_idx, ln_in, 1, pstore, lstore, kstore)
+    covis = np.asarray(kstore.covis)
+    n_shared_lines = int((np.asarray(ln0) >= 0).sum())
+    assert covis[1, 0] > 0, covis[:2, :2]
+    assert covis[1, 0] <= n_shared_lines
+    assert covis[0, 1] == covis[1, 0]

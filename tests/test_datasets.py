@@ -134,3 +134,121 @@ def test_livefeed_sync_no_imu_mode():
 def test_livefeed_timeout():
     sync = StereoInertialSync()
     assert sync.next_frame(timeout=0.05) is None
+
+
+def _random_traj(n=7, seed=3):
+    import numpy as np
+
+    from pli_slam_tpu.ops import lie
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    traj = []
+    for i in range(n):
+        R = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.4, jnp.float32)))
+        p = rng.normal(size=3).astype(np.float64)
+        traj.append((0.05 * i + 1.5, R, p))
+    return traj
+
+
+def test_euroc_trajectory_roundtrip(tmp_path):
+    """EuRoC CSV writer/parser round-trip (reference SaveTrajectoryEuRoC
+    format, src/System.cc:502)."""
+    import numpy as np
+
+    from pli_slam_tpu.utils import trajectory as tio
+
+    traj = _random_traj()
+    path = str(tmp_path / "traj_euroc.csv")
+    tio.save_euroc(path, traj)
+    back = tio.load_euroc(path)
+    assert len(back) == len(traj)
+    for (s0, R0, p0), (s1, R1, p1) in zip(traj, back):
+        assert abs(s0 - s1) < 1e-6
+        np.testing.assert_allclose(R0, R1, atol=1e-4)
+        np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
+def test_kitti_trajectory_roundtrip(tmp_path):
+    """KITTI 12-number [R|t] writer/parser round-trip (src/System.cc:654)."""
+    import numpy as np
+
+    from pli_slam_tpu.utils import trajectory as tio
+
+    traj = _random_traj(seed=4)
+    path = str(tmp_path / "traj_kitti.txt")
+    tio.save_kitti(path, traj)
+    back = tio.load_kitti(path)
+    assert len(back) == len(traj)
+    for (_, R0, p0), (_, R1, p1) in zip(traj, back):
+        np.testing.assert_allclose(R0, R1, atol=1e-6)
+        np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
+def test_keyframe_savers_and_imu_init_log(tmp_path):
+    """KF-trajectory savers in all three formats + the IMU-init debug CSV
+    (reference SaveKeyFrameTrajectoryEuRoC src/System.cc:602 and
+    SaveDebugData src/System.cc:708)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pli_slam_tpu.ops.camera import Camera
+    from pli_slam_tpu.system import System
+    from pli_slam_tpu.utils import trajectory as tio
+    from pli_slam_tpu.utils.config import SlamConfig
+    from pli_slam_tpu.ops import lie
+
+    cfg = SlamConfig.tiny_test()
+    cam = Camera.pinhole(fx=120.0, fy=120.0, cx=64.0, cy=48.0, bf=13.2,
+                         width=128, height=96)
+    sys_ = System(cam, cfg)
+    tr = sys_.tracker
+    rng = np.random.default_rng(11)
+    n = 4
+    ks = tr.kstore
+    for k in range(n):
+        R = lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.2, jnp.float32))
+        t = jnp.asarray(rng.normal(size=3), jnp.float32)
+        ks = dataclasses.replace(
+            ks,
+            R=ks.R.at[k].set(R), t=ks.t.at[k].set(t),
+            stamp=ks.stamp.at[k].set(0.1 * k),
+            valid=ks.valid.at[k].set(True),
+        )
+    tr.kstore = ks
+    tr.n_kf = n
+
+    p_eu = str(tmp_path / "kf_euroc.csv")
+    p_ki = str(tmp_path / "kf_kitti.txt")
+    p_tum = str(tmp_path / "kf_tum.txt")
+    sys_.save_keyframe_trajectory_euroc(p_eu)
+    sys_.save_keyframe_trajectory_kitti(p_ki)
+    sys_.save_keyframe_trajectory_tum(p_tum)
+    eu = tio.load_euroc(p_eu)
+    ki = tio.load_kitti(p_ki)
+    tum = tio.load_tum(p_tum)
+    assert len(eu) == len(ki) == len(tum) == n
+    # all three formats agree on the poses (camera-to-world)
+    for (s_e, R_e, p_e), (_, R_k, p_k), (s_t, R_t, p_t) in zip(eu, ki, tum):
+        np.testing.assert_allclose(R_e, R_k, atol=1e-4)
+        np.testing.assert_allclose(p_e, p_k, atol=1e-5)
+        np.testing.assert_allclose(p_e, p_t, atol=1e-5)
+        assert abs(s_e - s_t) < 1e-6
+
+    tr.imu_init_log.append({"n_kf": 3, "accepted": False,
+                            "reason": "too_few_keyframes", "wall_ms": 0.2})
+    tr.imu_init_log.append({
+        "n_kf": 6, "accepted": True, "reason": "ok", "scale": 1.02,
+        "gravity_angle_deg": 1.4, "bg": [0.01, -0.02, 0.003],
+        "ba": [0.1, 0.0, -0.05], "cost0": 12.5, "cost1": 0.3,
+        "wall_ms": 55.0,
+    })
+    p_log = str(tmp_path / "imu_init.csv")
+    sys_.save_imu_init_log(p_log)
+    lines = open(p_log).read().strip().split("\n")
+    assert len(lines) == 3
+    assert lines[0].startswith("n_kf,accepted,reason")
+    assert "too_few_keyframes" in lines[1]
+    assert "ok" in lines[2] and "1.02" in lines[2]

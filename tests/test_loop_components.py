@@ -181,3 +181,52 @@ class TestVocab:
         excl = jnp.zeros(16, bool).at[3].set(True)
         slots2, _ = vocab.query(db, bq, jnp.zeros(voc.n_words), excl)
         assert int(slots2[0]) != 3
+
+
+def test_group_scoring_defeats_perceptual_alias():
+    """Covisibility-group accumulation (reference DetectNBestCandidates,
+    src/KeyFrameDatabase.cc:806): a single look-alike keyframe elsewhere
+    outranks the true loop KF under flat scoring, but the true site's
+    covisible neighbors all score, so group accumulation ranks the true
+    site first."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pli_slam_tpu.worldmap import vocab as vocab_mod
+
+    K, W = 16, 32
+    hist_pt = np.zeros((K, W), np.float32)
+    # query hits word 0; each KF's histogram = alpha*e0 + sqrt(1-a^2)*e_k
+    sims = {2: 0.60, 3: 0.65, 4: 0.60, 10: 0.70}  # 10 is the alias
+    for k, a in sims.items():
+        hist_pt[k, 0] = a
+        hist_pt[k, 1 + k] = np.sqrt(1 - a * a)
+    for k in range(K):
+        if k not in sims:
+            hist_pt[k, 1 + k] = 1.0
+    db = vocab_mod.BowDatabase(
+        hist_pt=jnp.asarray(hist_pt),
+        hist_ln=jnp.zeros((K, W)),
+        valid=jnp.ones(K, bool),
+    )
+    bow_q = jnp.zeros(W).at[0].set(1.0)
+    bow_l = jnp.zeros(W)
+    excl = jnp.zeros(K, bool)
+
+    # flat scoring: the alias wins
+    flat_slots, _ = vocab_mod.query(db, bow_q, bow_l, excl, n_best=3)
+    assert int(flat_slots[0]) == 10
+
+    # covis: 2-3-4 are a group; the alias's neighbors (9, 11) score zero
+    covis = np.zeros((K, K), np.int32)
+    for i, j in [(2, 3), (3, 4), (2, 4), (9, 10), (10, 11)]:
+        covis[i, j] = covis[j, i] = 30
+    slots, scores = vocab_mod.query(
+        db, bow_q, bow_l, excl, n_best=3, covis=jnp.asarray(covis)
+    )
+    slots = np.asarray(slots)
+    # the true site's best member (KF 3) ranks first; the alias is beaten
+    assert slots[0] == 3, (slots, np.asarray(scores))
+    # overlapping groups elect the same member once (dedup)
+    kept = [s for s in slots.tolist() if s >= 0]
+    assert len(kept) == len(set(kept))

@@ -25,7 +25,7 @@ def vi_run():
     tracker = Tracker(cam, cfg)
     gt = []
     infos = []
-    for fr in synthetic.make_sequence(cam, 45, fps=cfg.fps, traj=traj, room_half=2.55):
+    for fr in synthetic.make_sequence(cam, 70, fps=cfg.fps, traj=traj, room_half=2.55):
         imu = {"gyro": fr["imu_gyro"], "acc": fr["imu_acc"], "stamps": fr["imu_stamps"]}
         infos.append(tracker.process(fr["img_l"], fr["img_r"], fr["t"], imu=imu))
         gt.append(fr["p_w"])
@@ -55,7 +55,7 @@ def test_gravity_direction_matches_world(vi_run):
 def test_tracking_stays_ok(vi_run):
     tracker, infos, gt = vi_run
     ok = sum(1 for i in infos if i["state"] == TrackingState.OK)
-    assert ok >= 40, ok
+    assert ok >= 62, ok
 
 
 def test_ate_not_worse_than_visual(vi_run):
@@ -70,3 +70,70 @@ def test_biases_stay_bounded(vi_run):
     tracker, *_ = vi_run
     assert float(np.abs(np.asarray(tracker.bg)).max()) < 0.2
     assert float(np.abs(np.asarray(tracker.ba)).max()) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Noise-hardened end-to-end (round-5): EuRoC-level gyro/accel white noise,
+# constant bias, and bias random walk (reference noise operating point,
+# Examples/Stereo-Inertial/Config/EuRoC.yaml:44-49). The clean-IMU run
+# above is DEMOTED to a comparison baseline — the noisy assertions are
+# the primary inertial e2e contract (clean IMU can mask sign/weighting
+# bugs in the covariance and bias-walk information terms).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vi_run_noisy():
+    cfg = SlamConfig.tiny_test()
+    cfg = dataclasses.replace(
+        cfg, sensor="stereo_imu",
+        imu=dataclasses.replace(cfg.imu, init_time_sec=1.0, max_samples_per_frame=16),
+    )
+    cam = Camera.pinhole(fx=120.0, fy=120.0, cx=64.0, cy=48.0, bf=13.2, width=128, height=96)
+    traj = synthetic.Trajectory(amp=(0.5, 0.35, 0.2), freq=(0.15, 0.19, 0.11), yaw_amp=0.25)
+    noise = synthetic.ImuNoiseModel.euroc()
+    tracker = Tracker(cam, cfg)
+    gt = []
+    infos = []
+    for fr in synthetic.make_sequence(cam, 70, fps=cfg.fps, traj=traj,
+                                      room_half=2.55, imu_noise=noise):
+        imu = {"gyro": fr["imu_gyro"], "acc": fr["imu_acc"], "stamps": fr["imu_stamps"]}
+        infos.append(tracker.process(fr["img_l"], fr["img_r"], fr["t"], imu=imu))
+        gt.append(fr["p_w"])
+    return tracker, infos, np.stack(gt), noise
+
+
+def test_noisy_imu_initializes(vi_run_noisy):
+    tracker, infos, gt, noise = vi_run_noisy
+    assert tracker.imu_ready, "IMU init never fired under EuRoC-level noise"
+    g = np.asarray(tracker.gravity_w)
+    np.testing.assert_allclose(np.linalg.norm(g), 9.81, rtol=0.15)
+
+
+def test_noisy_imu_tracking_stays_ok(vi_run_noisy):
+    tracker, infos, gt, noise = vi_run_noisy
+    ok = sum(1 for i in infos if i["state"] == TrackingState.OK)
+    assert ok >= 60, ok
+
+
+def test_noisy_imu_gyro_bias_recovered(vi_run_noisy):
+    """The estimated gyro bias must land near the injected constant bias
+    (the walk contributes only ~1e-4 rad/s over this run). Tolerance is
+    set by the estimator's intrinsic error at this trajectory/KF count —
+    ~0.05 rad/s even on CLEAN IMU (visual KF rotations feed stage-1) —
+    not by the noise; the guarded failure mode is the 0.15+ rad/s
+    garbage a mis-weighted init produces."""
+    tracker, infos, gt, noise = vi_run_noisy
+    bg = np.asarray(tracker.bg)
+    np.testing.assert_allclose(bg, np.asarray(noise.bg0), atol=0.06)
+
+
+def test_noisy_imu_ate_within_2x_of_clean(vi_run, vi_run_noisy):
+    tracker_c, _, gt_c = vi_run
+    tracker_n, _, gt_n, _ = vi_run_noisy
+    ate_c = synthetic.ate_rmse(tracker_c.positions(), gt_c)
+    ate_n = synthetic.ate_rmse(tracker_n.positions(), gt_n)
+    path = np.linalg.norm(np.diff(gt_n, axis=0), axis=1).sum()
+    # noisy run stays within 2x the clean run (with an absolute floor so
+    # an ultra-tight clean ATE doesn't make the gate vacuous-strict)
+    assert ate_n <= max(2.0 * ate_c, 0.004 * path), (ate_n, ate_c, path)
