@@ -63,10 +63,12 @@ def run_flagship(n_frames):
     cam = make_cam()
     # period-7s Lissajous: the camera re-enters its starting viewpoint
     # every 140 frames, so a >=200-frame run revisits mapped space and
-    # the BoW+Sim3 pipeline closes a real loop inside the timed window
+    # the BoW+Sim3 pipeline closes a real loop inside the timed window.
+    # Amplitudes give ~0.9 m/s peak speed — the EuRoC MAV envelope
+    # (MH ~0.45 m/s mean, V2_03 ~0.75).
     traj = synthetic.Trajectory(
-        amp=(1.5, 0.8, 0.4), freq=(1 / 7, 2 / 7, 3 / 7),
-        yaw_amp=0.5, yaw_freq=1 / 7,
+        amp=(1.0, 0.5, 0.3), freq=(1 / 7, 2 / 7, 3 / 7),
+        yaw_amp=0.4, yaw_freq=1 / 7,
     )
     log(f"bench[flagship]: rendering {n_frames} frames")
     frames = []
@@ -81,15 +83,31 @@ def run_flagship(n_frames):
     jax.block_until_ready(frames[-1][0])
     log("bench[flagship]: rendering done; warmup/compile")
 
+    # PASS 1 — compile warmup over the FULL sequence: the sequence
+    # deterministically triggers every program variant it will need
+    # (pre-init host path, fused VI step with/without KF branch, IMU
+    # init, VI window BA, loop detection/closure, amortized GBA chunks),
+    # so nothing compiles inside the measured pass. First compile over
+    # the remote tunnel costs minutes; a fixed-count warmup prefix
+    # cannot cover late variants like loop closure.
+    warm_tracker = Tracker(cam, cfg)
+    warm_tracker.streaming = True
+    for i, (img_l, img_r, t, _, imu) in enumerate(frames):
+        warm_tracker.process(img_l, img_r, t, imu=imu)
+        if i % 40 == 0:
+            log(f"bench[flagship]: warm pass frame {i}")
+    warm_tracker.finalize()
+    warm_tracker.positions()
+    log(f"bench[flagship]: warm pass done (imu_ready={warm_tracker.imu_ready}, "
+        f"loops={warm_tracker.loop_closer.n_loops_closed if warm_tracker.loop_closer else 0}); measuring")
+    del warm_tracker
+
+    # PASS 2 — fresh tracker, everything pre-compiled; measure ALL frames
     tracker = Tracker(cam, cfg)
     tracker.streaming = True
-    # warmup: compile every program variant (host pre-init path, fused
-    # VI step with/without KF branch) on the first frames
-    n_warm = min(50, n_frames // 3)
+    n_warm = 3  # buffer-allocation jitter only
     for img_l, img_r, t, _, imu in frames[:n_warm]:
         tracker.process(img_l, img_r, t, imu=imu)
-    log(f"bench[flagship]: warmup done ({n_warm} frames, imu_ready={tracker.imu_ready}); measuring")
-
     times = []
     t0 = time.time()
     for i, (img_l, img_r, t, _, imu) in enumerate(frames[n_warm:]):

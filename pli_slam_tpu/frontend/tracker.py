@@ -1348,7 +1348,11 @@ def make_step_vi(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
         R_pred, t_pred = inr.camera_pose(init_state, ext)
         R_new = jnp.where(ok, R1, R_pred)
         t_new = jnp.where(ok, t1, t_pred)
-        v_new = jnp.where(ok, st2.v_w, vp)
+        # velocity sanity clamp on the dead-reckoned fallback (bias +
+        # gravity error integrates without bound during loss)
+        vp_n = jnp.linalg.norm(vp)
+        vp_safe = vp * jnp.minimum(1.0, 5.0 / jnp.maximum(vp_n, 1e-9))
+        v_new = jnp.where(ok, st2.v_w, vp_safe)
         bg_new = jnp.where(ok, st2.bg, bg)
         ba_new = jnp.where(ok, st2.ba, ba)
 
@@ -1624,6 +1628,7 @@ class Tracker:
         self.ba = jnp.zeros(3)
         self.last_preint = None
         self._first_imu_stamp = None
+        self._last_imu_raw = None  # boundary sample carried between frame batches
         self._viba_stage: int | None = None  # 0 after init, 1 after VIBA1, 2 done
         self._imu_init_stamp = 0.0
         # structured per-attempt IMU-init debug records (reference
@@ -1773,14 +1778,27 @@ class Tracker:
         EVERY keyframe's pose/velocity/bias is refined — including the
         far side of a loop (round-3 verdict Weak #5: the capped version
         silently turned "full" into "local")."""
+        # keep the CURRENT frame pose continuous across the solve: record
+        # it relative to the newest keyframe and recompose against that
+        # keyframe's refined pose afterwards. Teleporting self.R/t to the
+        # keyframe pose (the round-4 behavior) rewinds the tracker 2-3
+        # frames — at ~1.5 m/s that is tens of pixels of prediction error
+        # and the next frame's matching collapses (the flagship-bench
+        # tracking loss at IMU init). The reference keeps the frame pose
+        # and only updates its reference-KF transform (UpdateFrameIMU,
+        # src/Tracking.cc:4550).
+        k = self.n_kf - 1
+        R_ref0 = self.kstore.R[k]
+        t_ref0 = self.kstore.t[k]
+        R_cr = lie._mm(self.R, R_ref0.T)
+        t_cr = self.t - lie._einsum("ij,j->i", R_cr, t_ref0)
         for window, fixed in self._fiba_schedule():
             self._run_fiba_window(window, fixed)
-        k = self.n_kf - 1
         self.v_w = self.kstore.v_w[k]
         self.bg = self.kstore.bg[k]
         self.ba = self.kstore.ba[k]
-        self.R = self.kstore.R[k]
-        self.t = self.kstore.t[k]
+        self.R = lie._mm(R_cr, self.kstore.R[k])
+        self.t = lie._einsum("ij,j->i", R_cr, self.kstore.t[k]) + t_cr
 
     def _fiba_schedule(self):
         """The FIBA window sweep as an explicit list of (window, fixed)
@@ -1962,6 +1980,15 @@ class Tracker:
         self.imu_ready = True
         # stage 3: full-map visual-inertial BA
         self._full_inertial_ba()
+        # NOTE: no standalone gravity refinement here — an inertial-only
+        # Rwg/velocity pass right after FIBA moves gravity without
+        # reconciling the FIBA-refined per-KF biases and measurably
+        # destabilizes the first fused-VI keyframes (ablated: ATE 0.14 ->
+        # 0.59 on the 70-frame VI scene). Gravity is refined at the
+        # VIBA1/VIBA2 gates instead, where the queued FIBA chunks that
+        # follow re-optimize the whole state jointly (the reference's
+        # staged InertialOptimization -> FullInertialBA pattern,
+        # src/LocalMapping.cc:151-196).
         self._imu_init_stamp = float(self.kstore.stamp[n - 1])
         self._viba_stage = 0
         g_np = np.asarray(g_w)
@@ -1972,14 +1999,22 @@ class Tracker:
              bg=np.asarray(bg).tolist(), ba=np.asarray(ba).tolist(),
              cost0=float(_costs[0]), cost1=float(_costs[-1]))
 
-    def _scale_refinement(self):
-        """Mono-inertial scale + gravity-direction refinement (reference
+    def _scale_refinement(self, fix_scale: bool = False):
+        """Scale + gravity-direction refinement (reference
         LocalMapping::ScaleRefinement src/LocalMapping.cc:1337 ->
         Optimizer::InertialOptimization(Map*,Rwg,scale) overload,
-        src/Optimizer.cc:5755): re-estimate ONLY (scale, Rwg) over the
+        src/Optimizer.cc:5755): re-estimate (scale, Rwg) over the
         keyframe chain with biases pinned by effectively-infinite priors,
         and rescale the map when the correction exceeds the reference's
-        0.2% threshold (LocalMapping.cc:195)."""
+        0.2% threshold (LocalMapping.cc:195).
+
+        `fix_scale=True` is the STEREO variant used at the VIBA1/VIBA2
+        gates: it refines only the gravity direction + velocities.
+        Without it, residual init gravity misalignment (a few degrees)
+        gets absorbed into per-KF accelerometer biases by the windowed
+        VI-BA (~9.81*sin(err) m/s^2 of spurious ba) — the reference
+        avoids this by refining Rwg inside its staged VIBA
+        (LocalMapping.cc:151-196 -> InertialOptimization)."""
         from pli_slam_tpu.solve import imu_init as ii
 
         n = self.n_kf
@@ -2007,7 +2042,7 @@ class Tracker:
         Rwg, s, _bg, _ba, v, _costs = ii.inertial_optimization(
             stacked, jnp.asarray(imu_mask), R_wb, p_wb, ks.v_w[:n], Rwg0,
             self.bg, self.ba, self.cfg.imu,
-            fix_scale=False, fix_bias=True,  # scale/Rwg/velocities only
+            fix_scale=fix_scale, fix_bias=True,  # (scale/)Rwg/velocities only
         )
         scale = float(s)
         if not np.isfinite(scale) or scale <= 1e-3:
@@ -2016,7 +2051,7 @@ class Tracker:
         if not bool(jnp.all(jnp.isfinite(g_w))):
             return
         self.gravity_w = g_w
-        if abs(scale - 1.0) > 0.002:
+        if not fix_scale and abs(scale - 1.0) > 0.002:
             self._apply_scale(scale)
             v = v * scale
         self.kstore = dataclasses.replace(
@@ -2407,6 +2442,7 @@ class Tracker:
         self._vi_fused_active = False
         self._preint_acc = None
         self._first_imu_stamp = None
+        self._last_imu_raw = None
         if self.is_mono:
             self._mono_init_frame = None
         from pli_slam_tpu.worldmap import vocab as vocab_mod
@@ -2615,6 +2651,13 @@ class Tracker:
             dt_init = stamp - self._imu_init_stamp
             gate = 5.0 if self._viba_stage == 0 else 15.0
             if dt_init > gate:
+                # NOTE: no standalone gravity refinement here — an
+                # inertial-only Rwg/velocity overwrite between frames
+                # leaves the live state inconsistent until the deferred
+                # FIBA chunks land, and measurably collapses tracking at
+                # exactly this gate (flagship bench ablation). The FIBA
+                # chunks themselves reconcile gravity/bias/velocity
+                # jointly (reference FullInertialBA in VIBA1/2).
                 for chunk in self._fiba_schedule():
                     self._deferred_ba.append(("fiba", chunk))
                 self._viba_stage += 1
@@ -2631,7 +2674,17 @@ class Tracker:
     def _imu_batch_arrays(self, imu: dict | None):
         """Pad/midpoint this frame's raw IMU batch to the fixed [T]
         arrays the preintegration scan consumes (reference
-        Tracking::PreintegrateIMU drain loop, src/Tracking.cc:1142)."""
+        Tracking::PreintegrateIMU drain loop, src/Tracking.cc:1142).
+
+        The PREVIOUS frame's last raw sample is prepended: per-frame
+        batches partition the sample stream at frame boundaries, so
+        without the carried boundary sample the interval between the
+        last sample of frame k-1 and the first of frame k is silently
+        DROPPED — at 200 Hz / 20 fps that is 10% of every frame's
+        motion, which IMU init then explains as a large fake gyro bias
+        and a ~10 deg gravity error (observed on clean IMU). The
+        reference's drain loop spans (t_{k-1}, t_k] for the same reason.
+        """
         T = self._imu_pad
         g = np.zeros((T, 3), np.float32)
         a = np.zeros((T, 3), np.float32)
@@ -2643,6 +2696,15 @@ class Tracker:
             stamps = np.asarray(imu["stamps"], np.float64).reshape(-1)
             if self._first_imu_stamp is None and len(stamps):
                 self._first_imu_stamp = float(stamps[0])
+            prev = getattr(self, "_last_imu_raw", None)
+            if prev is not None and len(stamps) and prev[0] < stamps[0] - 1e-9:
+                stamps = np.concatenate([[prev[0]], stamps])
+                gyro = np.vstack([prev[1], gyro])
+                acc = np.vstack([prev[2], acc])
+            if len(stamps):
+                self._last_imu_raw = (
+                    float(stamps[-1]), gyro[-1].copy(), acc[-1].copy()
+                )
             n = min(len(stamps), T)
             if n >= 2:
                 g[: n - 1] = 0.5 * (gyro[: n - 1] + gyro[1:n])
@@ -2696,7 +2758,14 @@ class Tracker:
             else:
                 # dead-reckon on the IMU (reference RECENTLY_LOST+IMU path)
                 self.R, self.t = inr.camera_pose(init_state, self.ext)
-                self.v_w = v_pred
+                # velocity sanity clamp: dead-reckoning on noisy IMU
+                # integrates bias + gravity error without bound (observed
+                # 46 m/s after 2 s of loss); the reference bounds the
+                # damage by declaring LOST after time_recently_lost —
+                # clamp so the reloc seed poses stay finite meanwhile
+                vn = float(jnp.linalg.norm(v_pred))
+                v_max = 5.0
+                self.v_w = v_pred * (v_max / vn) if vn > v_max else v_pred
                 self.state = TrackingState.RECENTLY_LOST
                 self._lost_frames += 1
                 # bad-IMU detection (reference LocalMapping.cc:111-121 /
@@ -2714,6 +2783,15 @@ class Tracker:
                             "n_points": 0, "n_lines": 0, "new_landmarks": 0}
                     self.stats.append(info)
                     return info
+                # visual relocalization while dead-reckoning (the pose
+                # prediction degrades fast on noisy IMU; PnP is the only
+                # way back onto the map), then new-map-on-persistent-loss
+                # (reference Tracking.cc:1590-1608)
+                if self._lost_frames >= 3 and self._relocalize(frame):
+                    n_inliers = self.cfg.tracking.min_inliers_local_map
+                    self._lost_frames = 0
+                elif self._lost_frames > self.cfg.tracking.recently_lost_sec * self.cfg.fps:
+                    self._switch_to_new_map()
         else:
             R0, t0 = self._predict_pose()
             (R, t, pt_idx, pt_in, ln_idx, ln_in, n_in, self.pstore, self.lstore) = self._track(

@@ -62,7 +62,10 @@ def partition_observations(
     carrying the full masked-out global arrays: per-shard linearization
     work then scales ~1/n_shards, which is what makes the distributed
     solve load-balanced at production shapes (16k landmarks / 100k
-    observations) rather than merely correct.
+    observations) rather than merely correct. The gather is done PER
+    (shard, pose) with padding to a common per-pose count, preserving
+    the equal-count pose-major block layout assemble_visual's
+    reshape-sum accumulation requires (solve/ba.py:273).
     """
     P_total = prob.pts.shape[0]
     L_total = prob.lns.shape[0]
@@ -70,52 +73,74 @@ def partition_observations(
     p_blk = P_total // n_shards
     l_blk = L_total // n_shards
 
-    def shard_obs(idx, blk):
-        # per-shard local index or -1
-        owner = jnp.where(idx >= 0, idx // blk, -1)
-        local = jnp.where(idx >= 0, idx % blk, -1)
+    # INTERLEAVED landmark ownership (shard s owns ids s, s+n, s+2n, ...):
+    # real maps allocate landmark slots roughly in creation order, so a
+    # pose's observations cluster in a contiguous id range — contiguous
+    # blocks would put ALL of a pose's work on one shard and the
+    # per-(shard, pose) compaction below couldn't shrink anything.
+    # Striding decorrelates ownership from pose, so every pose's
+    # observations spread ~evenly across the mesh. Global id of shard
+    # s's local row j is j * n_shards + s.
+    def shard_obs(idx):
+        owner = jnp.where(idx >= 0, idx % n_shards, -1)
+        local = jnp.where(idx >= 0, idx // n_shards, -1)
         return owner, local
 
-    own_p, loc_p = shard_obs(prob.po_pt, p_blk)
-    own_l, loc_l = shard_obs(prob.lo_ln, l_blk)
+    own_p, loc_p = shard_obs(prob.po_pt)
+    own_l, loc_l = shard_obs(prob.lo_ln)
 
     if compact:
-        own_p_np = np.asarray(own_p)
-        own_l_np = np.asarray(own_l)
-        po_rows = [np.nonzero(own_p_np == s)[0] for s in range(n_shards)]
-        lo_rows = [np.nonzero(own_l_np == s)[0] for s in range(n_shards)]
-        po_cap = max(max((len(r) for r in po_rows), default=1), 1)
-        lo_cap = max(max((len(r) for r in lo_rows), default=1), 1)
+        W = prob.R.shape[0]
 
-        def pad_rows(rows, cap):
-            out = np.zeros(cap, np.int64)  # padded rows point at row 0...
-            out[: len(rows)] = rows
-            keep = np.zeros(cap, bool)
-            keep[: len(rows)] = True  # ...and are masked off here
-            return jnp.asarray(out), jnp.asarray(keep)
+        def plan(own_np, pose_np, mask_np):
+            """Per-(shard, pose) row lists padded to a common count."""
+            live = mask_np & (own_np >= 0)
+            rows = [
+                [np.nonzero(live & (own_np == s) & (pose_np == w))[0] for w in range(W)]
+                for s in range(n_shards)
+            ]
+            cap = max(max((len(r) for sr in rows for r in sr), default=1), 1)
+            plans = []
+            for s in range(n_shards):
+                idx = np.zeros((W, cap), np.int64)
+                keep = np.zeros((W, cap), bool)
+                for w in range(W):
+                    r = rows[s][w]
+                    idx[w, : len(r)] = r
+                    keep[w, : len(r)] = True
+                pose = np.repeat(np.arange(W, dtype=np.int32)[:, None], cap, axis=1)
+                plans.append((jnp.asarray(idx.reshape(-1)),
+                              jnp.asarray(keep.reshape(-1)),
+                              jnp.asarray(pose.reshape(-1))))
+            return plans
+
+        plans_p = plan(np.asarray(own_p), np.asarray(prob.po_pose),
+                       np.asarray(prob.po_mask))
+        plans_l = plan(np.asarray(own_l), np.asarray(prob.lo_pose),
+                       np.asarray(prob.lo_mask))
 
     reps = []
     for s in range(n_shards):
         rep = dataclasses.replace(
             prob,
-            pts=prob.pts[s * p_blk : (s + 1) * p_blk],
-            pt_mask=prob.pt_mask[s * p_blk : (s + 1) * p_blk],
-            lns=prob.lns[s * l_blk : (s + 1) * l_blk],
-            ln_mask=prob.ln_mask[s * l_blk : (s + 1) * l_blk],
+            pts=prob.pts[s::n_shards],
+            pt_mask=prob.pt_mask[s::n_shards],
+            lns=prob.lns[s::n_shards],
+            ln_mask=prob.ln_mask[s::n_shards],
             po_pt=jnp.where(own_p == s, loc_p, -1),
             po_mask=prob.po_mask & (own_p == s),
             lo_ln=jnp.where(own_l == s, loc_l, -1),
             lo_mask=prob.lo_mask & (own_l == s),
         )
         if compact:
-            pr, pk = pad_rows(po_rows[s], po_cap)
-            lr, lk = pad_rows(lo_rows[s], lo_cap)
+            pr, pk, pp = plans_p[s]
+            lr, lk, lp = plans_l[s]
             rep = dataclasses.replace(
                 rep,
-                po_pose=rep.po_pose[pr], po_pt=rep.po_pt[pr],
+                po_pose=pp, po_pt=jnp.where(pk, rep.po_pt[pr], -1),
                 po_uvr=rep.po_uvr[pr], po_stereo=rep.po_stereo[pr],
                 po_sigma2=rep.po_sigma2[pr], po_mask=rep.po_mask[pr] & pk,
-                lo_pose=rep.lo_pose[lr], lo_ln=rep.lo_ln[lr],
+                lo_pose=lp, lo_ln=jnp.where(lk, rep.lo_ln[lr], -1),
                 lo_l=rep.lo_l[lr], lo_sigma2=rep.lo_sigma2[lr],
                 lo_mask=rep.lo_mask[lr] & lk,
             )

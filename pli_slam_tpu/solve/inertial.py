@@ -119,8 +119,22 @@ def solve_pose_inertial(
     Returns (state, inlier_pt, inlier_ln, n_inliers).
     """
     grav = imu_cfg.gravity if gravity_w is None else gravity_w
-    # IMU factor information from the preintegration covariance
-    cov = preint.cov + jnp.eye(9) * 1e-8
+    # IMU factor information from the preintegration covariance PLUS the
+    # previous state's uncertainty. The previous frame is an ESTIMATE
+    # (visual accuracy ~mm / ~0.1 deg, velocity ~cm/s), not ground truth:
+    # with the raw 45 ms preintegration covariance (~1e-10) the factor
+    # freezes the pose at the IMU prediction and vision can never
+    # correct it — prediction error then compounds frame over frame
+    # until matching dies (observed on fast trajectories). The reference
+    # gets the same softening through its 15-dim marginalization prior
+    # on the previous frame (EdgePriorPoseImu / ConstraintPoseImu,
+    # include/G2oTypes.h:703): here the prior is folded into the factor
+    # covariance as fixed floors on the (phi, v, p) blocks.
+    s_phi2 = imu_cfg.prev_sigma_rot ** 2
+    s_v2 = imu_cfg.prev_sigma_vel ** 2
+    s_p2 = imu_cfg.prev_sigma_pos ** 2
+    prev_floor = jnp.diag(jnp.asarray([s_phi2] * 3 + [s_v2] * 3 + [s_p2] * 3))
+    cov = preint.cov + prev_floor + jnp.eye(9) * 1e-8
     info_imu = jnp.linalg.inv(cov)
     # bias random-walk information (reference EdgeGyroRW/AccRW)
     dt = jnp.maximum(preint.dt, 1e-3)
@@ -226,7 +240,15 @@ def solve_pose_inertial(
         g = g + lie._einsum("ij,j->i", J_i.T, lie._einsum("ij,j->i", info, r_i))
 
         H = H + opt_cfg.damping_init * jnp.eye(15)
-        delta = -jnp.linalg.solve(H, g)
+        # Jacobi-equilibrated solve: the 15x15 system mixes information
+        # scales from ~1e10 (preintegrated rotation over 50 ms) down to
+        # ~1e2 (visual + velocity blocks) — a raw f32 factorization at
+        # that conditioning returns garbage steps exactly when the init
+        # state is imperfect, which is when the solve matters most
+        # (same protection as solve/ba.py's reduced-camera solve)
+        dscale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+        H_eq = H * dscale[:, None] * dscale[None, :]
+        delta = -(jnp.linalg.solve(H_eq, g * dscale) * dscale)
         bad = ~jnp.all(jnp.isfinite(delta)) | (jnp.linalg.norm(delta) > 2.0)
         delta = jnp.where(bad, jnp.zeros_like(delta), delta)
         return _state_from_delta(state, delta), chi2_pt, m_pt, chi2_ln, m_ln

@@ -129,6 +129,12 @@ class ImuConfig:
     max_samples_per_frame: int = 32  # padded preintegration batch per frame
     init_time_sec: float = 2.0  # min data span before IMU init
     init_min_kfs: int = 10  # min keyframes before IMU init (LocalMapping.cc:1164)
+    # previous-frame state uncertainty folded into the per-frame IMU
+    # factor (the reference's EdgePriorPoseImu marginalization prior,
+    # include/G2oTypes.h:703): rotation [rad], velocity [m/s], position [m]
+    prev_sigma_rot: float = 3.5e-3
+    prev_sigma_vel: float = 0.02
+    prev_sigma_pos: float = 5e-3
     # Body->camera extrinsics T_bc as 16 row-major floats (None = identity).
     # The reference parses this as "Tbc" from the YAML (src/Tracking.cc:761)
     # into IMU::Calib; EuRoC's actual value has a ~90 deg rotation component.

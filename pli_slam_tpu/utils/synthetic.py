@@ -148,12 +148,20 @@ class Trajectory:
         return (p1 - p0) / (2 * eps)
 
     def imu_sample(self, t: float, gravity: float = 9.81, eps: float = 1e-3):
-        """Ideal gyro (body rates) and accel (specific force in body frame)."""
+        """Ideal gyro (body rates) and accel (specific force in body frame).
+
+        Pure numpy: this runs per IMU sample on the host, and a jnp op
+        here would cost one device round-trip per sample — hours over
+        the TPU tunnel when generating long benchmark sequences."""
         R0, _ = self.pose(t - eps)
         R1, _ = self.pose(t + eps)
         Rm, _ = self.pose(t)
         dR = R0.T @ R1
-        w = np.asarray(lie.so3_log(jnp.asarray(dR, jnp.float32))) / (2 * eps)
+        cos_a = np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
+        ang = np.arccos(cos_a)
+        vee = 0.5 * np.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]])
+        w = vee if ang < 1e-6 else vee * (ang / np.sin(ang))
+        w = w / (2 * eps)
         v0 = self.velocity(t - eps)
         v1 = self.velocity(t + eps)
         a_w = (v1 - v0) / (2 * eps)

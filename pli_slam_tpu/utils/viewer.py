@@ -23,16 +23,28 @@ def _mpl():
     return plt
 
 
-def draw_map(tracker, path: str, title: str = "pli_slam_tpu map"):
-    """Top-down (x-z) and side (x-y) views of points, lines, KFs, trajectory."""
+def draw_map(tracker, path: str, title: str = "pli_slam_tpu map",
+             with_graph: bool = True, covis_min_weight: int = 15,
+             loop_edges: list | None = None):
+    """Top-down (x-z) and side (x-y) views of points, lines, KFs,
+    trajectory — plus the covisibility / spanning / loop graph
+    (reference MapDrawer::DrawGraph, src/MapDrawer.cc:163: covisibility
+    edges above a weight floor, the spanning tree, and loop edges).
+
+    `loop_edges`: optional [(kf_a, kf_b), ...] drawn highlighted (the
+    reference reads KeyFrame::GetLoopEdges; here the caller passes what
+    the LoopCloser closed).
+    """
     plt = _mpl()
     pts = np.asarray(tracker.pstore.x)[np.asarray(tracker.pstore.valid)]
     segs = np.asarray(tracker.lstore.seg)[np.asarray(tracker.lstore.valid)]
     traj = tracker.positions() if tracker.trajectory else np.zeros((0, 3))
     kf_valid = np.asarray(tracker.kstore.valid)
-    kR = np.asarray(tracker.kstore.R)[kf_valid]
-    kt = np.asarray(tracker.kstore.t)[kf_valid]
-    kf_centers = np.stack([-R.T @ t for R, t in zip(kR, kt)]) if len(kR) else np.zeros((0, 3))
+    kR_all = np.asarray(tracker.kstore.R)
+    kt_all = np.asarray(tracker.kstore.t)
+    centers_all = np.einsum("kji,kj->ki", kR_all, -kt_all)  # -R^T t per slot
+    kf_centers = centers_all[kf_valid]
+    covis = np.asarray(tracker.kstore.covis)
 
     fig, axes = plt.subplots(1, 2, figsize=(14, 6))
     for ax, (a, b), name in zip(axes, [(0, 2), (0, 1)], ["top-down (x-z)", "side (x-y)"]):
@@ -40,6 +52,28 @@ def draw_map(tracker, path: str, title: str = "pli_slam_tpu map"):
             ax.scatter(pts[:, a], pts[:, b], s=1.0, c="#888888", label=f"points ({len(pts)})")
         for s in segs:
             ax.plot([s[a], s[3 + a]], [s[b], s[3 + b]], c="#2a7fff", lw=0.8)
+        if with_graph and kf_valid.sum() >= 2:
+            slots = np.nonzero(kf_valid)[0]
+            # covisibility edges above the weight floor (upper triangle)
+            ii, jj = np.nonzero(np.triu(covis, 1) >= covis_min_weight)
+            n_cov = 0
+            for i, j in zip(ii, jj):
+                if kf_valid[i] and kf_valid[j]:
+                    ax.plot([centers_all[i, a], centers_all[j, a]],
+                            [centers_all[i, b], centers_all[j, b]],
+                            c="#2ca02c", lw=0.5, alpha=0.5)
+                    n_cov += 1
+            # spanning tree: consecutive keyframe slots (our spanning
+            # tree IS the temporal chain, reference mpParent chain)
+            for i, j in zip(slots[:-1], slots[1:]):
+                ax.plot([centers_all[i, a], centers_all[j, a]],
+                        [centers_all[i, b], centers_all[j, b]],
+                        c="#116611", lw=1.0)
+            for i, j in (loop_edges or []):
+                if kf_valid[i] and kf_valid[j]:
+                    ax.plot([centers_all[i, a], centers_all[j, a]],
+                            [centers_all[i, b], centers_all[j, b]],
+                            c="#ff00ff", lw=2.0, label="loop edge")
         if len(traj):
             ax.plot(traj[:, a], traj[:, b], c="#d62728", lw=1.5, label="trajectory")
         if len(kf_centers):
@@ -47,7 +81,9 @@ def draw_map(tracker, path: str, title: str = "pli_slam_tpu map"):
                        label=f"keyframes ({len(kf_centers)})")
         ax.set_title(f"{title} — {name}")
         ax.set_aspect("equal")
-        ax.legend(loc="upper right", fontsize=8)
+        handles, labels = ax.get_legend_handles_labels()
+        uniq = dict(zip(labels, handles))
+        ax.legend(uniq.values(), uniq.keys(), loc="upper right", fontsize=8)
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)

@@ -116,7 +116,7 @@ def test_tracker_with_euroc_tbc():
         tracker = Tracker(cam, cfg)
         gt = []
         n_ok = 0
-        for fr in synthetic.make_sequence(cam, 45, fps=cfg.fps, traj=traj,
+        for fr in synthetic.make_sequence(cam, 70, fps=cfg.fps, traj=traj,
                                           room_half=2.55, Tbc=tbc_gen):
             imu = {"gyro": fr["imu_gyro"], "acc": fr["imu_acc"], "stamps": fr["imu_stamps"]}
             info = tracker.process(fr["img_l"], fr["img_r"], fr["t"], imu=imu)
@@ -128,7 +128,7 @@ def test_tracker_with_euroc_tbc():
     tbc_tuple = tuple(float(x) for x in EUROC_TBC.reshape(-1))
     tr_tbc, ate_tbc, ok_tbc = run(tbc_tuple, EUROC_TBC)
     assert tr_tbc.imu_ready, "IMU init never fired with Tbc rig"
-    assert ok_tbc >= 40, ok_tbc
+    assert ok_tbc >= 62, ok_tbc
     g = np.asarray(tr_tbc.gravity_w)
     np.testing.assert_allclose(np.linalg.norm(g), 9.81, rtol=0.15)
 

@@ -120,12 +120,13 @@ def test_noisy_imu_gyro_bias_recovered(vi_run_noisy):
     """The estimated gyro bias must land near the injected constant bias
     (the walk contributes only ~1e-4 rad/s over this run). Tolerance is
     set by the estimator's intrinsic error at this trajectory/KF count —
-    ~0.05 rad/s even on CLEAN IMU (visual KF rotations feed stage-1) —
-    not by the noise; the guarded failure mode is the 0.15+ rad/s
-    garbage a mis-weighted init produces."""
+    ~0.05 rad/s even on CLEAN IMU (visual KF rotation errors feed
+    stage-1) — not by the noise (adds ~0.03); the guarded failure mode
+    is the 0.15-0.25 rad/s garbage a mis-weighted or interval-dropping
+    init produces (the round-5 boundary-sample bug)."""
     tracker, infos, gt, noise = vi_run_noisy
     bg = np.asarray(tracker.bg)
-    np.testing.assert_allclose(bg, np.asarray(noise.bg0), atol=0.06)
+    np.testing.assert_allclose(bg, np.asarray(noise.bg0), atol=0.1)
 
 
 def test_noisy_imu_ate_within_2x_of_clean(vi_run, vi_run_noisy):
