@@ -397,6 +397,17 @@ def insert_keyframe(
         )
     fuse_ok = matching.dedup_matches(fuse_idx, fuse_best, fuse_ok, pstore.x.shape[0])
     want_new = want_new & ~fuse_ok
+    # per-KF creation budget, closest-first (reference CreateNewKeyFrame
+    # creates all close stereo points but caps the sorted-by-depth tail
+    # at ~100, src/Tracking.cc:3573): without a cap a long run fills the
+    # entire point store (~380 new landmarks/KF observed) and matching
+    # quality collapses. KF0 (bootstrap) keeps the full budget.
+    cap = min(cfg.tracking.kf_max_new_points, want_new.shape[0])
+    if cap < want_new.shape[0]:
+        create_score = jnp.where(want_new, 1.0 / jnp.maximum(frame.depth, 1e-3), -1.0)
+        kth = jax.lax.top_k(create_score, cap)[0][-1]
+        keep = (create_score >= jnp.maximum(kth, 1e-9)) & (create_score > 0)
+        want_new = want_new & jnp.where(kf_slot > 0, keep, True)
     slots, ok_new = st.alloc_slots(~pstore.valid, want_new)
     safe_slots = jnp.maximum(slots, 0)
     pstore = dataclasses.replace(

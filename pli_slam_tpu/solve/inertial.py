@@ -256,7 +256,8 @@ def solve_pose_inertial(
     state = init
     pt_mask = jnp.ones(obs.point_mask.shape, bool)
     ln_mask = jnp.ones(obs.line_mask.shape, bool)
-    for _ in range(opt_cfg.pose_rounds - 1):
+    rounds = getattr(opt_cfg, "pose_rounds_inertial", opt_cfg.pose_rounds)
+    for _ in range(rounds - 1):
         for _ in range(opt_cfg.pose_gn_iters):
             state, chi2_pt, m_pt, chi2_ln, m_ln = gn_iter(state, pt_mask, ln_mask)
         r_pt_n = jnp.sqrt(jnp.maximum(chi2_pt, 0.0))

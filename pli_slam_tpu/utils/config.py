@@ -81,6 +81,7 @@ class TrackingConfig:
     # src/Tracking.cc:3500 c1c) — a KF created from a garbage pose spawns
     # duplicate landmarks at wrong depths and deforms the early map
     kf_min_close_points: int = 100  # close-point creation cap (Tracking.cc:3573)
+    kf_max_new_points: int = 256  # per-KF landmark creation budget, closest-first
     recently_lost_sec: float = 5.0  # time_recently_lost (Tracking.cc:53)
     motion_model: bool = True
 
@@ -92,6 +93,13 @@ class OptimizerConfig:
     pose_gn_iters: int = 5  # stage-1 GN (Config::maxIters)
     pose_gn_iters_refine: int = 10  # refinement (Config::maxItersRef)
     pose_rounds: int = 4  # GN -> outlier -> GN rounds (Optimizer.cc:1146-1163)
+    # inertial per-frame solve rounds: each GN iteration re-linearizes
+    # points+lines+IMU sequentially, so the 15-dof solve's latency is
+    # iteration-bound on TPU; 2 rounds (15 iterations) tracks as well as
+    # 4 in practice because the IMU prediction is already a near-optimal
+    # seed (the reference spends 4x10 g2o iterations, but on CPU where
+    # iterations are nearly free)
+    pose_rounds_inertial: int = 2
     mad_k: float = 4.0  # MAD inlier factor (Config::inlierK)
     local_ba_iters: int = 6  # g2o optimize(5)+optimize(10) analog — g2o's
     # LM typically converges the window in the first handful and the

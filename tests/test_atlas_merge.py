@@ -76,21 +76,38 @@ def test_loss_newmap_revisit_merge():
 
 def test_preint_chain_survives_merge_remap():
     """Inertial-aware merge (reference MergeInertialBA,
-    src/Optimizer.cc:6858): the active side's preintegration chain must
-    be re-indexed through the merge's KF slot mapping, not dropped —
-    factors whose endpoints stay adjacent survive, others are pruned."""
-    # src KFs 0..3 land in dst slots 5..8 (contiguous tail)
-    kf_slots = np.asarray([5, 6, 7, 8, -1, -1])
-    old = {1: "p01", 2: "p12", 3: "p23"}
-    new = Tracker._remap_preints(old, kf_slots)
-    assert new == {6: "p01", 7: "p12", 8: "p23"}
+    src/Optimizer.cc:6858): the active side's device-resident
+    preintegration chain must be re-indexed through the merge's KF slot
+    mapping, not dropped — factors whose endpoints stay adjacent
+    survive, others are pruned. (Payload round-trips are covered by
+    tests/test_preint_store.py; this pins the merge slot-mapping
+    semantics on the same three scenarios the old host-dict remap had.)"""
+    from pli_slam_tpu.ops import imu as imu_ops
 
-    # non-adjacent landing (slot 2 skipped a hole): factor pruned
-    kf_slots = np.asarray([5, 6, 9, 10])
-    new = Tracker._remap_preints({1: "a", 2: "b", 3: "c"}, kf_slots)
-    assert new == {6: "a", 10: "c"}  # "b" spans 6->9, not adjacent
+    def store_with(keys, tag_offset=0):
+        st_ = imu_ops.PreintStore.empty(12)
+        for i, k in enumerate(keys):
+            p = imu_ops.Preintegrated.identity()
+            p = dataclasses.replace(p, dt=jnp.asarray(float(i + 1 + tag_offset)))
+            st_ = st_.set(k, p)
+        return st_
+
+    def valid_slots(st_):
+        return sorted(np.nonzero(np.asarray(st_.valid))[0].tolist())
+
+    # src KFs 0..3 land in dst slots 5..8 (contiguous tail): all survive
+    st_ = store_with([1, 2, 3])
+    out = st_.remap(np.asarray([5, 6, 7, 8, -1, -1]))
+    assert valid_slots(out) == [6, 7, 8]
+    # payload follows the factor (dt tags 1, 2, 3 -> slots 6, 7, 8)
+    assert np.asarray(out.data.dt)[[6, 7, 8]].tolist() == [1.0, 2.0, 3.0]
+
+    # non-adjacent landing (slot 2 skipped a hole): that factor pruned
+    st_ = store_with([1, 2, 3])
+    out = st_.remap(np.asarray([5, 6, 9, 10]))
+    assert valid_slots(out) == [6, 10]
 
     # unmapped (-1) endpoints never crash or survive
-    kf_slots = np.asarray([-1, 4, 5])
-    new = Tracker._remap_preints({1: "x", 2: "y"}, kf_slots)
-    assert new == {5: "y"}
+    st_ = store_with([1, 2])
+    out = st_.remap(np.asarray([-1, 4, 5]))
+    assert valid_slots(out) == [5]

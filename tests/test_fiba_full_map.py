@@ -117,7 +117,10 @@ def test_full_inertial_ba_reaches_far_side(rng):
     tracker.n_kf = n
     tracker.gravity_w = jnp.asarray(g_w)
     tracker.imu_ready = True
-    tracker._kf_preints = {k: pre for k in range(1, n)}
+    pints = tracker._pints
+    for k in range(1, n):
+        pints = pints.set(k, pre)
+    tracker._pints = pints
 
     v_err_before = float(jnp.abs(tracker.kstore.v_w[1:7, 1]).max())
     tracker._full_inertial_ba()
