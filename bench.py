@@ -58,7 +58,11 @@ def run_flagship(n_frames):
 
     cfg = SlamConfig.euroc_stereo_inertial()
     cfg = dataclasses.replace(
-        cfg, imu=dataclasses.replace(cfg.imu, init_time_sec=1.5, max_samples_per_frame=16)
+        cfg,
+        imu=dataclasses.replace(cfg.imu, init_time_sec=1.5, max_samples_per_frame=16),
+        # tighter per-KF creation budget for the long run: ~40 KFs at the
+        # default budget fill the 16k point store and matching degrades
+        tracking=dataclasses.replace(cfg.tracking, kf_max_new_points=256),
     )
     cam = make_cam()
     # period-7s Lissajous: the camera re-enters its starting viewpoint

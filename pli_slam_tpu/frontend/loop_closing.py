@@ -284,6 +284,14 @@ class LoopCloser:
             )
         )
         self._proj_support = jax.jit(projection_support, static_argnames=("radius", "max_dist"))
+        # the correction (essential-graph PGO + landmark re-anchoring)
+        # MUST be jitted: run eagerly, its ~20 GN iterations decompose
+        # into thousands of per-op dispatches — minutes over the remote
+        # tunnel on every loop-closure frame
+        self._correct = jax.jit(
+            apply_loop_correction,
+            static_argnames=("n_kf", "cfg", "inertial"),
+        )
 
     def on_keyframe(self, tracker, kf_slot: int, candidates) -> bool:
         """Consume the fused step's loop candidates for keyframe kf_slot
@@ -348,9 +356,10 @@ class LoopCloser:
         best, R_rel, t_rel, s_rel = verified
 
         inertial = bool(getattr(tracker, "imu_ready", False))
-        tracker.kstore, tracker.pstore, tracker.lstore = apply_loop_correction(
+        tracker.kstore, tracker.pstore, tracker.lstore = self._correct(
             tracker.kstore, tracker.pstore, tracker.lstore,
-            tracker.n_kf, kf_slot, best, R_rel, t_rel, cfg,
+            int(tracker.n_kf), jnp.asarray(kf_slot, jnp.int32),
+            jnp.asarray(best, jnp.int32), R_rel, t_rel, cfg,
             inertial=inertial,
             s_rel=s_rel if self.with_scale else None,
         )

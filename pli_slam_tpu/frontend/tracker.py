@@ -1963,9 +1963,18 @@ class Tracker:
         Rwg0 = ii.gravity_dir_seed(stacked, jnp.asarray(imu_mask), R_wb, self.cfg.imu.gravity)
         v0 = ii.velocity_seed(p_wb, ks.stamp[:n])
         fix_scale = not self.is_mono
-        Rwg, s, bg, ba, v, _costs = ii.inertial_optimization(
+        if not hasattr(self, "_inertial_opt_j"):
+            # jitted: run eagerly this scan-based MAP decomposes into
+            # hundreds of per-op dispatches — tens of seconds over the
+            # remote tunnel on the init frame
+            self._inertial_opt_j = jax.jit(
+                ii.inertial_optimization,
+                static_argnames=("imu_cfg", "prior_g", "prior_a",
+                                 "fix_scale", "fix_bias"),
+            )
+        Rwg, s, bg, ba, v, _costs = self._inertial_opt_j(
             stacked, jnp.asarray(imu_mask), R_wb, p_wb, v0, Rwg0, bg0,
-            jnp.zeros(3), self.cfg.imu,
+            jnp.zeros(3), imu_cfg=self.cfg.imu,
             prior_g=1e2, prior_a=1e6 if self.is_mono else 1e5,
             fix_scale=fix_scale,
         )

@@ -81,7 +81,7 @@ class TrackingConfig:
     # src/Tracking.cc:3500 c1c) — a KF created from a garbage pose spawns
     # duplicate landmarks at wrong depths and deforms the early map
     kf_min_close_points: int = 100  # close-point creation cap (Tracking.cc:3573)
-    kf_max_new_points: int = 256  # per-KF landmark creation budget, closest-first
+    kf_max_new_points: int = 512  # per-KF landmark creation budget, closest-first
     recently_lost_sec: float = 5.0  # time_recently_lost (Tracking.cc:53)
     motion_model: bool = True
 
