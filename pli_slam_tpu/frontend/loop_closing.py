@@ -356,6 +356,12 @@ class LoopCloser:
         best, R_rel, t_rel, s_rel = verified
 
         inertial = bool(getattr(tracker, "imu_ready", False))
+        # current-pose carry: the correction moves every keyframe; the
+        # live tracker pose (1-2 frames past kf_slot in streaming mode)
+        # must ride the SAME rigid delta as its reference keyframe, not
+        # be teleported onto the stale keyframe pose
+        R_kf0 = tracker.kstore.R[kf_slot]
+        t_kf0 = tracker.kstore.t[kf_slot]
         tracker.kstore, tracker.pstore, tracker.lstore = self._correct(
             tracker.kstore, tracker.pstore, tracker.lstore,
             int(tracker.n_kf), jnp.asarray(kf_slot, jnp.int32),
@@ -386,9 +392,14 @@ class LoopCloser:
                 tracker.kstore, tracker.pstore, tracker.lstore = gba(
                     tracker.kstore, tracker.pstore, tracker.lstore
                 )
-        # tracking continues from the corrected keyframe pose
-        tracker.R = tracker.kstore.R[kf_slot]
-        tracker.t = tracker.kstore.t[kf_slot]
+        # tracking continues from the corrected pose: apply the keyframe's
+        # correction delta T_kf_new ∘ T_kf_old^-1 to the live frame pose
+        R_kf1 = tracker.kstore.R[kf_slot]
+        t_kf1 = tracker.kstore.t[kf_slot]
+        R_d = lie._mm(R_kf1, R_kf0.T)
+        t_d = t_kf1 - lie._einsum("ij,j->i", R_d, t_kf0)
+        tracker.t = lie._einsum("ij,j->i", R_d, tracker.t) + t_d
+        tracker.R = lie._mm(R_d, tracker.R)
         tracker._reset_motion()
         self.n_loops_closed += 1
         self._last_closed_kf = kf_slot

@@ -1338,7 +1338,11 @@ def make_step_vi(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
              allow_mapping, pstore, lstore, kstore, bow_db, kf_view,
              local_pt, pints):
         frame = build(*img_args)
-        g_b, a_b, dt_b, m_b = imu_args
+        # imu_args: packed [T, 8] = g | a | dt | mask (one host upload)
+        g_b = imu_args[:, 0:3]
+        a_b = imu_args[:, 3:6]
+        dt_b = imu_args[:, 6]
+        m_b = imu_args[:, 7] > 0.5
         # this frame's preintegration (reference PreintegrateIMU) + the
         # per-KF accumulator (mpImuPreintegratedFromLastKF)
         p = imu_ops.preintegrate(g_b, a_b, dt_b, m_b, bg, ba, cfg.imu)
@@ -1867,10 +1871,21 @@ class Tracker:
                 self._deferred_ba.append(("gba", chunk))
 
     def run_deferred_ba(self, max_chunks: int = 1):
-        """Execute up to `max_chunks` queued global-BA chunks."""
+        """Execute up to `max_chunks` queued global-BA chunks.
+
+        The CURRENT frame pose rides along: it is recorded relative to
+        the newest keyframe before each chunk and recomposed against
+        that keyframe's refined pose after — a chunk that moves the
+        recent keyframes without carrying the live pose strands the
+        tracker off its own map (the VIBA-gate tracking collapse)."""
         n_run = 0
         while self._deferred_ba and n_run < max_chunks:
             kind, arg = self._deferred_ba.pop(0)
+            k = self.n_kf - 1
+            R_ref0 = self.kstore.R[k]
+            t_ref0 = self.kstore.t[k]
+            R_cr = lie._mm(self.R, R_ref0.T)
+            t_cr = self.t - lie._einsum("ij,j->i", R_cr, t_ref0)
             if kind == "gba":
                 self.kstore, self.pstore, self.lstore = self._gba_j(
                     self.kstore, self.pstore, self.lstore, iters=arg
@@ -1878,10 +1893,11 @@ class Tracker:
             else:
                 self._run_fiba_window(*arg)
                 if not self._deferred_ba:  # final chunk: refresh live state
-                    k = self.n_kf - 1
                     self.v_w = self.kstore.v_w[k]
                     self.bg = self.kstore.bg[k]
                     self.ba = self.kstore.ba[k]
+            self.R = lie._mm(R_cr, self.kstore.R[k])
+            self.t = lie._einsum("ij,j->i", R_cr, self.kstore.t[k]) + t_cr
             n_run += 1
 
     def _apply_scale(self, s: float):
@@ -2645,12 +2661,15 @@ class Tracker:
             )
             self._preint_since_kf = None
             self.last_preint = None
-        g, a, dts, m = self._imu_batch_arrays(imu)
+        # ONE packed [T, 8] upload per frame (g | a | dt | mask): four
+        # separate small transfers cost ~4 RTTs on the tunnel transport
+        # — more than the entire fused step's device time
+        imu_packed = self._imu_batch_arrays(imu, packed=True)
         (R, t, R_prev, t_prev, self.v_w, self.bg, self.ba, self._preint_acc,
          self.pstore, self.lstore, self.kstore, self.bow_db,
          self._kf_view_dev, self._local_pt, self._pints,
          pt_idx, pt_in, ln_idx, ln_in, counters, stats_dev, rel) = self._step_vi(
-            img_args, (g, a, dts, m), stamp, self.R, self.t,
+            img_args, imu_packed, stamp, self.R, self.t,
             self.v_w, self.bg, self.ba, self.gravity_w, self._preint_acc,
             self.ext, self.n_kf, self.frames_since_kf, self.last_kf_inliers,
             allow_mapping, self.pstore, self.lstore, self.kstore, self.bow_db,
@@ -2691,7 +2710,7 @@ class Tracker:
             self._preint_since_kf = self._preint_acc
             self._preint_acc = None
 
-    def _imu_batch_arrays(self, imu: dict | None):
+    def _imu_batch_arrays(self, imu: dict | None, packed: bool = False):
         """Pad/midpoint this frame's raw IMU batch to the fixed [T]
         arrays the preintegration scan consumes (reference
         Tracking::PreintegrateIMU drain loop, src/Tracking.cc:1142).
@@ -2731,6 +2750,12 @@ class Tracker:
                 a[: n - 1] = 0.5 * (acc[: n - 1] + acc[1:n])
                 dts[: n - 1] = np.diff(stamps[:n]).astype(np.float32)
                 mask[: n - 1] = dts[: n - 1] > 0
+        if packed:
+            # single [T, 8] transfer: g | a | dt | mask
+            buf = np.concatenate(
+                [g, a, dts[:, None], mask[:, None].astype(np.float32)], axis=1
+            )
+            return jnp.asarray(buf)
         return (jnp.asarray(g), jnp.asarray(a), jnp.asarray(dts), jnp.asarray(mask))
 
     def process_mono(self, img, stamp: float, allow_mapping: bool = True, imu: dict | None = None) -> dict:
