@@ -50,6 +50,31 @@ def make_cam():
     )
 
 
+def reset_tracker_for_measurement(tracker, cfg):
+    """Wipe all run state but keep the instance's compiled callables."""
+    import jax.numpy as jnp
+
+    from pli_slam_tpu.worldmap.atlas import Atlas
+
+    tracker.reset_active_map()
+    tracker.atlas = Atlas(cfg)
+    tracker._traj_pending.clear()
+    tracker._traj_done.clear()
+    tracker.stats.clear()
+    tracker._prev_stamp = None
+    tracker._lost_frames = 0
+    tracker.R = jnp.eye(3)
+    tracker.t = jnp.zeros(3)
+    tracker.R_prev = jnp.eye(3)
+    tracker.t_prev = jnp.zeros(3)
+    tracker.vel_xi = jnp.zeros(6)
+    tracker.has_vel = False
+    tracker._pending_stats = None
+    from pli_slam_tpu.frontend.tracker import TrackingState
+
+    tracker.state = TrackingState.NOT_INITIALIZED
+
+
 def run_flagship(n_frames):
     """Stereo-inertial + loop closure on a periodic (revisiting) path."""
     from pli_slam_tpu.frontend.tracker import Tracker
@@ -104,10 +129,15 @@ def run_flagship(n_frames):
     warm_tracker.positions()
     log(f"bench[flagship]: warm pass done (imu_ready={warm_tracker.imu_ready}, "
         f"loops={warm_tracker.loop_closer.n_loops_closed if warm_tracker.loop_closer else 0}); measuring")
-    del warm_tracker
 
-    # PASS 2 — fresh tracker, everything pre-compiled; measure ALL frames
-    tracker = Tracker(cam, cfg)
+    # PASS 2 — SAME tracker object with its state wiped: a fresh Tracker
+    # would create fresh jax.jit wrappers whose first calls pay a
+    # persistent-cache LOAD + re-upload per program over the remote
+    # transport (minutes for the big fused programs — observed as
+    # multi-minute stalls inside the measured pass); reusing the
+    # instance keeps every in-process compiled callable hot.
+    tracker = warm_tracker
+    reset_tracker_for_measurement(tracker, cfg)
     tracker.streaming = True
     n_warm = 3  # buffer-allocation jitter only
     for img_l, img_r, t, _, imu in frames[:n_warm]:
