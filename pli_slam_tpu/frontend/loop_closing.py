@@ -401,6 +401,8 @@ class LoopCloser:
         tracker.t = lie._einsum("ij,j->i", R_d, tracker.t) + t_d
         tracker.R = lie._mm(R_d, tracker.R)
         tracker._reset_motion()
+        if hasattr(tracker, "_map_event_cooldown"):
+            tracker._map_event_cooldown = 5  # widened matching while re-locking
         self.n_loops_closed += 1
         self._last_closed_kf = kf_slot
         self._consistency = 0

@@ -862,6 +862,7 @@ def global_ba(cam, cfg: SlamConfig, kstore: st.KeyFrameStore, pstore: st.PointSt
 def track_step_inertial(
     cam, cfg: SlamConfig, frame: FrameData, preint, prev_state, init_state,
     gravity_w, ext, pstore: st.PointStore, lstore: st.LineStore, local_pt_ids=None,
+    wide=False,
 ):
     """Inertial analog of track_step: the 15-dof state is solved with the
     preintegration factor in the loop (reference: TrackLocalMap's
@@ -870,7 +871,11 @@ def track_step_inertial(
     from pli_slam_tpu.solve import inertial as inr
 
     R0, t0 = inr.camera_pose(init_state, ext)
-    r1 = cfg.match.search_radius_px
+    # `wide` (traced): widen the first search round after map-changing
+    # events (IMU init / FIBA / loop correction) — the refined map can
+    # sit tens of px from the prediction for a few frames, and at
+    # f=435 the nominal 15 px window is only ~2 deg
+    r1 = jnp.where(wide, 3.0 * cfg.match.search_radius_px, cfg.match.search_radius_px)
     pt_idx, pt_ok, _ = _match_points_against_store(cam, cfg, frame, R0, t0, pstore, r1, local_pt_ids)
     ln_idx, ln_ok, _ = _match_lines_against_store(cam, cfg, frame, R0, t0, lstore, r1)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
@@ -879,7 +884,7 @@ def track_step_inertial(
     )
 
     R1, t1 = inr.camera_pose(st1, ext)
-    r2 = max(r1 * 0.4, 4.0)  # static: r1 is a config constant
+    r2 = max(cfg.match.search_radius_px * 0.4, 4.0)
     pt_idx, pt_ok, pt_frust = _match_points_against_store(cam, cfg, frame, R1, t1, pstore, r2, local_pt_ids)
     ln_idx, ln_ok, ln_frust = _match_lines_against_store(cam, cfg, frame, R1, t1, lstore, r2)
     obs = _pose_obs_from_matches(cfg, frame, pstore, lstore, pt_idx, pt_ok, ln_idx, ln_ok)
@@ -1335,7 +1340,7 @@ def make_step_vi(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
 
     def step(img_args, imu_args, stamp, R, t, v_w, bg, ba, gravity_w,
              preint_acc, ext, n_kf, frames_since_kf, last_kf_inliers,
-             allow_mapping, pstore, lstore, kstore, bow_db, kf_view,
+             allow_mapping, wide, pstore, lstore, kstore, bow_db, kf_view,
              local_pt, pints):
         frame = build(*img_args)
         # imu_args: packed [T, 8] = g | a | dt | mask (one host upload)
@@ -1355,7 +1360,7 @@ def make_step_vi(cam, cfg: SlamConfig, voc_pt, voc_ln, build):
         (st2, R1, t1, pt_idx, pt_in, ln_idx, ln_in, n_in,
          pstore, lstore) = track_step_inertial(
             cam, cfg, frame, p, prev_state, init_state, gravity_w, ext,
-            pstore, lstore, local_pt,
+            pstore, lstore, local_pt, wide=wide,
         )
         ok = n_in >= cfg.tracking.min_inliers_track
         # on failure hold the IMU dead-reckoned state (reference
@@ -1677,6 +1682,9 @@ class Tracker:
             # the pre-init phase and rare paths stay host-orchestrated
             self._vi_fused_active = False
             self._preint_acc = None
+            # frames of widened matching after a map-changing event
+            # (IMU init / FIBA / loop correction / deferred chunk)
+            self._map_event_cooldown = 0
             if not self.is_mono:
                 self._step_vi = make_step_vi(
                     cam, cfg, self.voc_pt, self.voc_ln, build_raw
@@ -1814,6 +1822,7 @@ class Tracker:
         self.ba = self.kstore.ba[k]
         self.R = lie._mm(R_cr, self.kstore.R[k])
         self.t = lie._einsum("ij,j->i", R_cr, self.kstore.t[k]) + t_cr
+        self._map_event_cooldown = 5
 
     def _fiba_schedule(self):
         """The FIBA window sweep as an explicit list of (window, fixed)
@@ -1898,6 +1907,7 @@ class Tracker:
                     self.ba = self.kstore.ba[k]
             self.R = lie._mm(R_cr, self.kstore.R[k])
             self.t = lie._einsum("ij,j->i", R_cr, self.kstore.t[k]) + t_cr
+            self._map_event_cooldown = max(self._map_event_cooldown, 2)
             n_run += 1
 
     def _apply_scale(self, s: float):
@@ -2665,6 +2675,9 @@ class Tracker:
         # separate small transfers cost ~4 RTTs on the tunnel transport
         # — more than the entire fused step's device time
         imu_packed = self._imu_batch_arrays(imu, packed=True)
+        wide = self._map_event_cooldown > 0
+        if wide:
+            self._map_event_cooldown -= 1
         (R, t, R_prev, t_prev, self.v_w, self.bg, self.ba, self._preint_acc,
          self.pstore, self.lstore, self.kstore, self.bow_db,
          self._kf_view_dev, self._local_pt, self._pints,
@@ -2672,7 +2685,7 @@ class Tracker:
             img_args, imu_packed, stamp, self.R, self.t,
             self.v_w, self.bg, self.ba, self.gravity_w, self._preint_acc,
             self.ext, self.n_kf, self.frames_since_kf, self.last_kf_inliers,
-            allow_mapping, self.pstore, self.lstore, self.kstore, self.bow_db,
+            allow_mapping, wide, self.pstore, self.lstore, self.kstore, self.bow_db,
             self._kf_view_dev, self._local_pt, self._pints,
         )
         self.R, self.t, self.R_prev, self.t_prev = R, t, R_prev, t_prev
